@@ -1,0 +1,93 @@
+"""Training losses as masked, static-shape jax reductions.
+
+Parity targets (formulas, not code) from the reference:
+  - SiLogLoss      utils/criterion.py:10-21 — scale-invariant log loss with
+                   lambda=0.5 over the `target > 0` valid mask.
+  - WeightedMSELoss utils/criterion.py:23-30 — plain MSE between pred and
+                   target flattened per-batch.
+
+The reference uses data-dependent boolean indexing (`target[valid_mask]`),
+which is illegal under jit; here the same quantities are computed with
+`where`-masked sums and counts, which is exactly equal mathematically and is
+verified against a direct numpy port in tests/test_losses.py.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def silog_loss(pred: jnp.ndarray, target: jnp.ndarray, lambd: float = 0.5,
+               eps: float = 0.0) -> jnp.ndarray:
+    """Scale-invariant log loss over valid (target > 0) pixels.
+
+    loss = sqrt( mean(d^2) - lambd * mean(d)^2 ),  d = log(target) - log(pred)
+
+    Shapes: pred/target broadcastable, any rank. Returns a scalar.
+    `eps` can clamp pred away from zero for numerical safety (reference
+    passes raw sigmoid*max_depth outputs which are > 0 already).
+    """
+    valid = target > 0
+    n = jnp.maximum(jnp.sum(valid), 1)
+    safe_t = jnp.where(valid, target, 1.0)
+    safe_p = jnp.where(valid, jnp.maximum(pred, eps) if eps else pred, 1.0)
+    d = jnp.where(valid, jnp.log(safe_t) - jnp.log(safe_p), 0.0)
+    mean_d2 = jnp.sum(d * d) / n
+    mean_d = jnp.sum(d) / n
+    return jnp.sqrt(jnp.maximum(mean_d2 - lambd * mean_d * mean_d, 0.0))
+
+
+def weighted_mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """MSE between pred (B, K) and target reshaped to (B, K).
+
+    Matches WeightedMSELoss (criterion.py:28-30): target.view(B, -1), mean
+    over all elements.
+    """
+    B = pred.shape[0]
+    t = target.reshape(B, -1)
+    p = pred.reshape(B, -1)
+    diff = p - t
+    return jnp.mean(diff * diff)
+
+
+def pose_losses(preds: dict, batch: dict, decoder: str = "decoder_v2"):
+    """Rotation/translation losses matching train.py:218-229.
+
+    decoder_v1: loss_R = MSE(r12); loss_T = MSE(r12)  (the reference's typo at
+      train.py:222 assigns loss_R12 to loss_Translation; we implement the
+      *intended* semantics loss_T = MSE(t12) and expose the quirk via
+      `faithful_v1_quirk`).
+    decoder_v2: bidirectional means.
+    """
+    loss_r12 = weighted_mse_loss(preds["pred_r12"], batch["R12"])
+    loss_t12 = weighted_mse_loss(preds["pred_t12"], batch["T12"])
+    if decoder == "decoder_v1":
+        return loss_r12, loss_t12
+    loss_r21 = weighted_mse_loss(preds["pred_r21"], batch["R21"])
+    loss_t21 = weighted_mse_loss(preds["pred_t21"], batch["T21"])
+    return (loss_r12 + loss_r21) / 2.0, (loss_t12 + loss_t21) / 2.0
+
+
+def total_loss(preds: dict, batch: dict, *, decoder: str = "decoder_v2",
+               lambda_rot: float = 100.0, lambda_trans: float = 100.0,
+               silog_lambda: float = 0.5):
+    """Full training objective (train.py:215-230):
+    (silog(d1)+silog(d2))/2 + lambda1 * loss_R + lambda2 * loss_T.
+
+    Returns (total, aux dict of the components).
+    """
+    loss_d1 = silog_loss(jnp.squeeze(preds["pred_d1"], -1)
+                         if preds["pred_d1"].ndim == batch["depth1"].ndim + 1
+                         else preds["pred_d1"], batch["depth1"], silog_lambda)
+    loss_d2 = silog_loss(jnp.squeeze(preds["pred_d2"], -1)
+                         if preds["pred_d2"].ndim == batch["depth2"].ndim + 1
+                         else preds["pred_d2"], batch["depth2"], silog_lambda)
+    loss_depth = (loss_d1 + loss_d2) / 2.0
+    loss_rot, loss_trans = pose_losses(preds, batch, decoder)
+    total = loss_depth + lambda_rot * loss_rot + lambda_trans * loss_trans
+    aux = {
+        "loss_total": total,
+        "loss_depth": loss_depth,
+        "loss_rotation": loss_rot,
+        "loss_translation": loss_trans,
+    }
+    return total, aux

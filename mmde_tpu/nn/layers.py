@@ -1,0 +1,110 @@
+"""Shared layers: MLP, DropPath (stochastic depth), fp32-forced norm helpers.
+
+Numerics policy mirrors the reference's mixed-precision discipline
+(models/swin_transformer_v2.py:41-56): LayerNorm and the attention softmax /
+cosine normalization run in float32 even when activations are bfloat16; the
+surrounding matmuls stay in the activation dtype so they hit the MXU.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+class LayerNormFP32(nn.Module):
+    """LayerNorm computed in float32, result cast back to the input dtype.
+
+    Matches LayerNormFP32 (swin_transformer_v2.py:41-47).
+    """
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, use_scale=self.use_scale,
+                         use_bias=self.use_bias, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
+              rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Stochastic depth: drop the entire residual branch per sample."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("droppath")
+        return drop_path(x, self.rate, False, rng)
+
+
+def trunc_normal_init(std: float = 0.02):
+    """Truncated-normal initializer matching timm's trunc_normal_ (±2σ)."""
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return init
+
+
+class Mlp(nn.Module):
+    """Transformer FFN. `fp32_out` forces the second projection to fp32
+    (reference mlpfp32 path, swin_transformer_v2.py:82-88)."""
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    dropout: float = 0.0
+    use_norm: bool = False
+    fp32_out: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="fc1")(x)
+        if self.use_norm:
+            x = LayerNormFP32(name="norm")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.fp32_out:
+            x = nn.Dense(out_dim, dtype=jnp.float32, param_dtype=jnp.float32,
+                         kernel_init=trunc_normal_init(), name="fc2")(
+                x.astype(jnp.float32))
+        else:
+            x = nn.Dense(out_dim, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(), name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class ConvBnRelu(nn.Module):
+    """Conv + BatchNorm + ReLU (reference cnn_transformer.py:8-20)."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        return nn.relu(x)
