@@ -1,0 +1,107 @@
+"""Benchmark: training-step throughput of the flagship model on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Measures fwd+bwd+optimizer update (the reference's per-iter wall-clock at
+train.py:248 is the comparable instrumentation) for swin_base_v2 +
+decoder_v2 two-frame depth+pose at 480x640 in bf16.
+
+vs_baseline: ratio against the PyTorch reference throughput measured on this
+machine (tools/bench_torch_reference.py writes reference_baseline.json; the
+reference repo publishes no numbers — BASELINE.md). 0.0 when unmeasured.
+
+Env knobs: MMDE_BENCH_BATCH (default 4), MMDE_BENCH_STEPS (default 8),
+MMDE_BENCH_SMALL=1 for a CPU-feasible shape.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mmde_tpu.config import ModelConfig, SwinConfig
+    from mmde_tpu.models import build_model
+    from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+    from mmde_tpu.train.optim import build_optimizer
+    from mmde_tpu.train.step import TrainState, init_model, make_train_step
+
+    small = os.environ.get("MMDE_BENCH_SMALL") == "1"
+    batch_size = int(os.environ.get("MMDE_BENCH_BATCH", "4"))
+    steps = int(os.environ.get("MMDE_BENCH_STEPS", "8"))
+
+    if small:
+        H, W = 96, 128
+        swin = SwinConfig(depths=(2, 2, 2, 2), window_size=(6, 6, 6, 3),
+                          pretrain_window_size=(6, 6, 6, 3),
+                          use_shift=(True, True, False, False),
+                          drop_path_rate=0.0)
+        cfg = ModelConfig(backbone="swin_tiny_v2", decoder="decoder_v2",
+                          model_scale=32, max_depth=10.0, swin=swin,
+                          use_pallas_attention=False)
+    else:
+        H, W = 480, 640
+        swin = SwinConfig(depths=(2, 2, 18, 2), window_size=(30, 30, 30, 15),
+                          pretrain_window_size=(12, 12, 12, 6),
+                          use_shift=(True, True, False, False),
+                          drop_path_rate=0.3, use_checkpoint=True)
+        cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",
+                          model_scale=32, max_depth=10.0, swin=swin,
+                          dtype="bfloat16")
+
+    model = build_model(cfg)
+    ds = SyntheticTwoFrameDataset(num_samples=batch_size * 2, height=H,
+                                  width=W)
+    batch = jax.tree.map(jnp.asarray, next(ds.batches(batch_size, 1)))
+
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), batch)
+    tx, _ = build_optimizer(params, backbone=cfg.backbone,
+                            depths=cfg.swin.depths, max_lr=5e-4, min_lr=3e-5,
+                            weight_decay=0.05, layer_decay=0.9,
+                            steps_per_epoch=100, epochs=25)
+    state = TrainState.create(params, batch_stats, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, decoder=cfg.decoder, lambda_rot=100.0,
+                           lambda_trans=100.0, donate=True)
+
+    # warmup / compile
+    state, aux = step(state, batch)
+    jax.block_until_ready(aux["loss_total"])
+    state, aux = step(state, batch)
+    jax.block_until_ready(aux["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, aux = step(state, batch)
+    jax.block_until_ready(aux["loss_total"])
+    dt = time.perf_counter() - t0
+
+    n_chips = 1  # single-chip bench
+    images_per_sec = batch_size * steps / dt / n_chips
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "reference_baseline.json")
+    vs_baseline = 0.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            ref = json.load(f).get("images_per_sec", 0.0)
+        if ref > 0:
+            vs_baseline = images_per_sec / ref
+
+    print(json.dumps({
+        "metric": "train_images_per_sec_swin_base_480x640_bf16"
+                  if not small else "train_images_per_sec_small",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Synthetic in-memory two-frame dataset.
+
+Stands in for NYU/KITTI/VOID in tests and benchmarks (the reference has no
+test fixtures at all — SURVEY.md §4): deterministic random RGB pairs, smooth
+positive depth maps, and geometrically consistent relative poses
+(T21 = inv(T12)), in the exact batch layout the training step consumes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+from mmde_tpu import geometry as geo
+
+
+class SyntheticTwoFrameDataset:
+    def __init__(self, num_samples: int = 64, height: int = 96,
+                 width: int = 128, max_depth: float = 10.0, seed: int = 0,
+                 imu_max_len: int = 32):
+        self.num_samples = num_samples
+        self.height = height
+        self.width = width
+        self.max_depth = max_depth
+        self.seed = seed
+        self.imu_max_len = imu_max_len
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        H, W = self.height, self.width
+
+        def smooth_depth():
+            base = rng.uniform(0.5, self.max_depth * 0.9,
+                               size=(H // 8 + 1, W // 8 + 1)).astype(np.float32)
+            d = np.kron(base, np.ones((8, 8), np.float32))[:H, :W]
+            mask = rng.random((H, W)) < 0.1   # 10% invalid pixels
+            d[mask] = 0.0
+            return d
+
+        img1 = rng.random((H, W, 3), dtype=np.float32)
+        img2 = np.clip(img1 + rng.normal(0, 0.05, img1.shape), 0, 1).astype(np.float32)
+        depth1 = smooth_depth()
+        depth2 = smooth_depth()
+
+        w = rng.standard_normal(3) * 0.1
+        t = rng.standard_normal(3) * 0.05
+        R12 = geo.exp_so3(w).astype(np.float32)
+        T12 = t.astype(np.float32)
+        R21 = R12.T.copy()
+        T21 = (-R12.T @ t).astype(np.float32)
+
+        n_imu = int(rng.integers(4, self.imu_max_len))
+        imu = np.zeros((self.imu_max_len, 7), np.float32)
+        imu[:n_imu] = rng.standard_normal((n_imu, 7)).astype(np.float32)
+        imu_ts = np.zeros((self.imu_max_len,), np.float32)
+        imu_ts[:n_imu] = np.sort(rng.random(n_imu)).astype(np.float32)
+
+        return {
+            "image1": img1, "image2": img2,
+            "depth1": depth1, "depth2": depth2,
+            "R12": R12, "T12": T12, "R21": R21, "T21": T21,
+            "imu_data": imu, "imu_len": np.int32(n_imu),
+            "imu_timestamp": imu_ts,
+        }
+
+    def batches(self, batch_size: int, steps: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield `steps` stacked batches (cycling through samples)."""
+        i = 0
+        for _ in range(steps):
+            items = [self[(i + k) % self.num_samples] for k in range(batch_size)]
+            i += batch_size
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}

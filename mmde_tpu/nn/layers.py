@@ -104,7 +104,7 @@ class ConvBnRelu(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.strides, self.strides), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         return nn.relu(x)

@@ -1,0 +1,624 @@
+"""SwinTransformerV2 backbone — flax.linen, NHWC, TPU-first.
+
+Capability parity with the reference models/swin_transformer_v2.py (1281
+lines of PyTorch) re-designed for XLA:
+
+  * cosine-similarity window attention with learned log temperature clamped
+    at ln(100) (ref :176-177, :291-295) — via mmde_tpu.ops (XLA or Pallas);
+  * continuous relative position bias: 2-layer MLP over a log-spaced
+    relative-coordinate table, sigmoid output x16 (ref :183-242, :312-313);
+  * split q/v bias with an implicit zero k bias (ref :261-267, :283-286);
+  * post-norm (default) and pre-norm+layerscale block variants
+    (ref :355-488, :491-630);
+  * cyclic-shift SW-MSA with the additive 0/-100 region mask — the mask and
+    all window bookkeeping are computed in numpy at trace time, so they are
+    XLA constants rather than device computation (ref builds them on-device
+    per forward, :866-892);
+  * PatchMerging / PatchReduction1C / ConvPatchMerging downsampling
+    (ref :633-747), PatchEmbed conv-4x4 and ResNetDLN patch embeds
+    (ref :918-992);
+  * strid16 mode, per-stage window/shift flags, stochastic-depth schedule,
+    fp32 LayerNorm on outputs, gradient checkpointing per stage
+    (ref :995-1282).
+
+Everything here is NHWC with static shapes; shifting uses jnp.roll; windows
+are pure reshapes, so XLA fuses partition/attention/reverse into one fusion
+per block around the matmuls.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mmde_tpu.nn.layers import DropPath, LayerNormFP32, Mlp, trunc_normal_init
+from mmde_tpu.ops.window_attention import (
+    cosine_window_attention, scaled_window_attention)
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Static (trace-time) window bookkeeping — numpy, becomes XLA constants.
+# ---------------------------------------------------------------------------
+
+def relative_coords_table(window_size: Tuple[int, int],
+                          pretrain_window_size: int = -1,
+                          table_type: str = "norm8_log_bylayer") -> np.ndarray:
+    """Log-spaced relative-coordinate grid fed to the RPE MLP.
+
+    Returns ((2Wh-1)*(2Ww-1), 2) float32. Matches the construction at
+    ref :190-242 for types: linear, linear_bylayer, norm8_log,
+    norm8_log_bylayer.
+    """
+    wh, ww = window_size
+    ch = np.arange(-(wh - 1), wh, dtype=np.float32)
+    cw = np.arange(-(ww - 1), ww, dtype=np.float32)
+    table = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1)  # (2Wh-1, 2Ww-1, 2)
+    if table_type == "linear":
+        table[..., 0] /= (wh - 1)
+        table[..., 1] /= (ww - 1)
+    elif table_type == "linear_bylayer":
+        table /= (pretrain_window_size - 1)
+    elif table_type in ("norm8_log", "norm8_log_bylayer"):
+        if table_type == "norm8_log":
+            table[..., 0] /= (wh - 1)
+            table[..., 1] /= (ww - 1)
+        else:
+            table /= (pretrain_window_size - 1)
+        table *= 8.0
+        table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    else:
+        raise NotImplementedError(table_type)
+    return table.reshape(-1, 2).astype(np.float32)
+
+
+def relative_position_index(window_size: Tuple[int, int]) -> np.ndarray:
+    """(N, N) int32 index into the flattened (2Wh-1)(2Ww-1) bias table
+    (construction mirrors ref :248-259)."""
+    wh, ww = window_size
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
+                                  indexing="ij"))             # (2, Wh, Ww)
+    flat = coords.reshape(2, -1)                              # (2, N)
+    rel = flat[:, :, None] - flat[:, None, :]                 # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)             # (N, N, 2)
+    rel[..., 0] += wh - 1
+    rel[..., 1] += ww - 1
+    rel[..., 0] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)                       # (N, N)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C). H, W must be multiples of ws."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((H // ws) * (W // ws))
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def shifted_window_mask(Hp: int, Wp: int, ws: int, ss: int) -> np.ndarray:
+    """Additive 0/-100 mask (nW, N, N) separating the 9 cyclic-shift regions
+    (same partitioning as ref :873-892, built host-side)."""
+    img = np.zeros((Hp, Wp), dtype=np.float32)
+    cnt = 0
+    for hs in (slice(0, Hp - ws), slice(Hp - ws, Hp - ss), slice(Hp - ss, Hp)):
+        for wsl in (slice(0, Wp - ws), slice(Wp - ws, Wp - ss), slice(Wp - ss, Wp)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    m = img.reshape(Hp // ws, ws, Wp // ws, ws)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, ws * ws)          # (nW, N)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class WindowAttention(nn.Module):
+    """W-MSA with cosine attention + continuous RPE (ref :150-336)."""
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    attn_type: str = "cosine_mh"            # "cosine_mh" | "normal"
+    rpe_table_type: str = "norm8_log_bylayer"
+    rpe_hidden_dim: int = 512
+    rpe_output_type: str = "sigmoid"        # "sigmoid" (x16) | "normal"
+    pretrain_window_size: int = -1
+    fp32_out: bool = False                  # mlpfp32 projection
+    attn_impl: str = "xla"                  # "xla" | "pallas"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        B_, N, C = x.shape
+        nH = self.num_heads
+        Dh = C // nH
+
+        qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(x)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
+            bias_vec = jnp.concatenate(
+                [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(qkv.dtype)
+            qkv = qkv + bias_vec
+        qkv = qkv.reshape(B_, N, 3, nH, Dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]    # (B_, nH, N, Dh)
+
+        rpe_bias = self._rpe_bias(N)        # (nH, N, N) float32
+
+        if self.attn_type == "cosine_mh":
+            logit_scale = self.param(
+                "logit_scale",
+                lambda key, shape: jnp.full(shape, float(np.log(10.0))),
+                (nH, 1, 1))
+            if self.attn_impl == "pallas":
+                from mmde_tpu.ops.window_attention_pallas import \
+                    cosine_window_attention_pallas
+                out = cosine_window_attention_pallas(q, k, v, logit_scale,
+                                                     rpe_bias, mask)
+            else:
+                out = cosine_window_attention(q, k, v, logit_scale, rpe_bias,
+                                              mask)
+        elif self.attn_type == "normal":
+            out = scaled_window_attention(q, k, v, Dh ** -0.5, rpe_bias, mask)
+        else:
+            raise NotImplementedError(self.attn_type)
+
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        if self.fp32_out:
+            out = nn.Dense(C, dtype=jnp.float32, param_dtype=jnp.float32,
+                           kernel_init=trunc_normal_init(), name="proj")(
+                out.astype(jnp.float32))
+        else:
+            out = nn.Dense(C, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(), name="proj")(out)
+        return out
+
+    def _rpe_bias(self, N: int) -> jnp.ndarray:
+        """Continuous RPE: MLP(log-spaced coords) gathered per token pair.
+        Computed in fp32 (LinearFP32 tail in the reference, :185-187)."""
+        if self.rpe_table_type == "none":
+            table = self.param(
+                "relative_position_bias_table", trunc_normal_init(0.02),
+                ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
+                 self.num_heads))
+        else:
+            coords = jnp.asarray(relative_coords_table(
+                self.window_size, self.pretrain_window_size,
+                self.rpe_table_type))                      # (T, 2)
+            h = nn.Dense(self.rpe_hidden_dim, dtype=jnp.float32,
+                         param_dtype=jnp.float32,
+                         kernel_init=trunc_normal_init(), name="rpe_fc1")(coords)
+            h = nn.relu(h)
+            table = nn.Dense(self.num_heads, use_bias=False, dtype=jnp.float32,
+                             param_dtype=jnp.float32,
+                             kernel_init=trunc_normal_init(), name="rpe_fc2")(h)
+        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
+        bias = table[idx].reshape(N, N, self.num_heads)
+        bias = bias.transpose(2, 0, 1)                     # (nH, N, N)
+        if self.rpe_output_type == "sigmoid":
+            bias = 16.0 * jax.nn.sigmoid(bias)
+        return bias.astype(jnp.float32)
+
+
+class SwinBlock(nn.Module):
+    """One Swin block (post-norm default / pre-norm+layerscale variant),
+    operating directly on NHWC maps (ref :355-630 works on (B, L, C))."""
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    postnorm: bool = True
+    init_values: Optional[float] = None     # layerscale (pre-norm only)
+    use_mlp_norm: bool = False
+    endnorm: bool = False
+    attn_type: str = "cosine_mh"
+    rpe_table_type: str = "norm8_log_bylayer"
+    rpe_hidden_dim: int = 512
+    rpe_output_type: str = "sigmoid"
+    pretrain_window_size: int = -1
+    mlpfp32: bool = False
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray]):
+        deterministic = self.deterministic
+        B, H, W, C = x.shape
+        ws, ss = self.window_size, self.shift_size
+
+        shortcut = x
+        if not self.postnorm:
+            x = LayerNormFP32(name="norm1")(x)
+
+        # pad to window multiples (static at trace time)
+        pad_b = (ws - H % ws) % ws
+        pad_r = (ws - W % ws) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
+
+        if ss > 0:
+            x = jnp.roll(x, (-ss, -ss), axis=(1, 2))
+            attn_mask = mask
+        else:
+            attn_mask = None
+
+        windows = window_partition(x, ws)                  # (B*nW, ws*ws, C)
+        attn = WindowAttention(
+            dim=C, window_size=(ws, ws), num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, attn_type=self.attn_type,
+            rpe_table_type=self.rpe_table_type,
+            rpe_hidden_dim=self.rpe_hidden_dim,
+            rpe_output_type=self.rpe_output_type,
+            pretrain_window_size=self.pretrain_window_size,
+            fp32_out=self.mlpfp32, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="attn",
+        )(windows, attn_mask)
+        x = window_reverse(attn, ws, Hp, Wp)
+
+        if ss > 0:
+            x = jnp.roll(x, (ss, ss), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :H, :W, :]
+
+        dp = DropPath(self.drop_path_rate)
+        if self.postnorm:
+            x = LayerNormFP32(name="norm1")(x)
+            x = shortcut + dp(x, deterministic)
+            shortcut = x
+            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
+                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                    name="mlp")(x, deterministic)
+            y = LayerNormFP32(name="norm2")(y)
+            x = shortcut + dp(y, deterministic)
+        else:
+            if self.init_values is not None and self.init_values >= 0:
+                gamma_1 = self.param("gamma_1",
+                                     nn.initializers.constant(self.init_values),
+                                     (C,))
+                gamma_2 = self.param("gamma_2",
+                                     nn.initializers.constant(self.init_values),
+                                     (C,))
+            else:
+                gamma_1 = gamma_2 = 1.0
+            x = shortcut + dp(gamma_1 * x, deterministic)
+            shortcut = x
+            y = LayerNormFP32(name="norm2")(x)
+            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
+                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                    name="mlp")(y, deterministic)
+            x = shortcut + dp(gamma_2 * y, deterministic)
+
+        if self.endnorm:
+            x = LayerNormFP32(name="enorm")(x)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2x downsample: 2x2 space-to-depth + linear 4C->2C (ref :633-678)."""
+    postnorm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)     # (B, H/2, W/2, 4C)
+        if self.postnorm:
+            x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(), name="reduction")(x)
+            x = LayerNormFP32(name="norm")(x)
+        else:
+            x = LayerNormFP32(name="norm")(x)
+            x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(), name="reduction")(x)
+        return x
+
+
+class PatchReduction1C(nn.Module):
+    """Channel-preserving reduction used by strid16 mode (ref :681-708):
+    linear C->C + norm, no spatial change."""
+    postnorm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        if self.postnorm:
+            x = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(), name="reduction")(x)
+            x = LayerNormFP32(name="norm")(x)
+        else:
+            x = LayerNormFP32(name="norm")(x)
+            x = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(), name="reduction")(x)
+        return x
+
+
+class ConvPatchMerging(nn.Module):
+    """Conv 3x3 stride-2 downsample variant (ref :711-747)."""
+    postnorm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        if self.postnorm:
+            x = nn.Conv(2 * C, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype, name="reduction")(x)
+            x = LayerNormFP32(name="norm")(x)
+        else:
+            x = LayerNormFP32(name="norm")(x)
+            x = nn.Conv(2 * C, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv 4x4 stride-4 patchify + optional norm (ref :918-957)."""
+    embed_dim: int = 96
+    patch_size: int = 4
+    patch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ps = self.patch_size
+        B, H, W, C = x.shape
+        pad_b = (ps - H % ps) % ps
+        pad_r = (ps - W % ps) % ps
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps),
+                    dtype=self.dtype, kernel_init=trunc_normal_init(),
+                    name="proj")(x)
+        if self.patch_norm:
+            x = LayerNormFP32(name="norm")(x)
+        return x
+
+
+class ResNetDLNPatchEmbed(nn.Module):
+    """ResNet-style stem patch embed (ref :960-992): 3 convs + LN + GELU +
+    maxpool, total stride 4."""
+    embed_dim: int = 96
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        pad_b = (4 - H % 4) % 4
+        pad_r = (4 - W % 4) % 4
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = LayerNormFP32(name="ln1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = LayerNormFP32(name="ln2")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.embed_dim, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv3")(x)
+        x = LayerNormFP32(name="norm")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return x
+
+
+class BasicLayer(nn.Module):
+    """One Swin stage: blocks (alternating shift) + optional downsample
+    (ref :750-915). The SW-MSA mask is a trace-time numpy constant."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rates: Sequence[float] = ()
+    downsample: Optional[str] = None        # "merge" | "reduce1c" | "conv" | None
+    use_checkpoint: bool = False
+    init_values: Optional[float] = 1e-5
+    endnorm_interval: int = -1
+    use_mlp_norm: bool = False
+    use_shift: bool = True
+    attn_type: str = "cosine_mh"
+    rpe_table_type: str = "norm8_log_bylayer"
+    rpe_hidden_dim: int = 512
+    rpe_output_type: str = "sigmoid"
+    mlpfp32_blocks: Sequence[int] = (-1,)
+    postnorm: bool = True
+    pretrain_window_size: int = -1
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, H, W, C = x.shape
+        ws = self.window_size
+        ss = ws // 2
+        Hp = -(-H // ws) * ws
+        Wp = -(-W // ws) * ws
+        mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, ss)) \
+            if (self.use_shift and self.depth > 1) else None
+
+        block_cls = SwinBlock
+        if self.use_checkpoint:
+            block_cls = nn.remat(SwinBlock)
+
+        for i in range(self.depth):
+            shift = 0 if (i % 2 == 0 or not self.use_shift) else ss
+            endnorm = (self.endnorm_interval > 0
+                       and (i + 1) % self.endnorm_interval == 0)
+            x = block_cls(
+                dim=C, num_heads=self.num_heads, window_size=ws,
+                shift_size=shift, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop_path_rate=(self.drop_path_rates[i]
+                                if i < len(self.drop_path_rates) else 0.0),
+                postnorm=self.postnorm, init_values=self.init_values,
+                use_mlp_norm=self.use_mlp_norm, endnorm=endnorm,
+                attn_type=self.attn_type, rpe_table_type=self.rpe_table_type,
+                rpe_hidden_dim=self.rpe_hidden_dim,
+                rpe_output_type=self.rpe_output_type,
+                pretrain_window_size=self.pretrain_window_size,
+                mlpfp32=(i in self.mlpfp32_blocks),
+                attn_impl=self.attn_impl, dtype=self.dtype,
+                deterministic=deterministic,
+                name=f"blocks_{i}",
+            )(x, mask if shift > 0 else None)
+
+        x_out = x
+        if self.downsample == "merge":
+            x = PatchMerging(postnorm=self.postnorm, dtype=self.dtype,
+                             name="downsample")(x)
+        elif self.downsample == "reduce1c":
+            x = PatchReduction1C(postnorm=self.postnorm, dtype=self.dtype,
+                                 name="downsample")(x)
+        elif self.downsample == "conv":
+            x = ConvPatchMerging(postnorm=self.postnorm, dtype=self.dtype,
+                                 name="downsample")(x)
+        return x_out, x
+
+
+class SwinTransformerV2(nn.Module):
+    """Full backbone (ref :995-1282). Input NHWC uint8-normalized float;
+    returns a list of NHWC feature maps at `out_indices` with fp32 norms."""
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: Sequence[int] = (7, 7, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    use_checkpoint: Sequence[bool] | bool = False
+    init_values: Optional[float] = 1e-5
+    endnorm_interval: int = -1
+    use_mlp_norm_layers: Sequence[int] = ()
+    rpe_table_type: str = "norm8_log_bylayer"
+    rpe_hidden_dim: int = 512
+    attn_type: str = "cosine_mh"
+    rpe_output_type: str = "sigmoid"
+    postnorm: bool = True
+    patch_embed_type: str = "normal"        # "normal" | "resnetdln"
+    patch_merge_type: str = "normal"        # "normal" | "conv"
+    strid16: bool = False
+    mlpfp32_layer_blocks: Sequence[Sequence[int]] = ((-1,), (-1,), (-1,), (-1,))
+    out_indices: Sequence[int] = (3,)
+    frozen_stages: int = -1
+    use_shift: Sequence[bool] | bool = True
+    pretrain_window_size: Sequence[int] = (-1, -1, -1, -1)
+    pretrain_img_size: int = 224
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        num_layers = len(self.depths)
+        window_size = (list(self.window_size)
+                       if not isinstance(self.window_size, int)
+                       else [self.window_size] * num_layers)
+        use_shift = (list(self.use_shift)
+                     if not isinstance(self.use_shift, bool)
+                     else [self.use_shift] * num_layers)
+        use_ckpt = (list(self.use_checkpoint)
+                    if not isinstance(self.use_checkpoint, bool)
+                    else [self.use_checkpoint] * num_layers)
+
+        if self.patch_embed_type == "normal":
+            x = PatchEmbed(embed_dim=self.embed_dim,
+                           patch_norm=self.patch_norm, dtype=self.dtype,
+                           name="patch_embed")(x)
+        elif self.patch_embed_type == "resnetdln":
+            x = ResNetDLNPatchEmbed(embed_dim=self.embed_dim,
+                                    dtype=self.dtype, name="patch_embed")(x)
+        else:
+            raise NotImplementedError(self.patch_embed_type)
+
+        if self.ape:
+            res = self.pretrain_img_size // 4
+            ape = self.param("absolute_pos_embed", trunc_normal_init(0.02),
+                             (1, res, res, self.embed_dim))
+            ape_r = jax.image.resize(
+                ape, (1, x.shape[1], x.shape[2], self.embed_dim), "bicubic")
+            x = x + ape_r.astype(x.dtype)
+
+        # stochastic-depth schedule over the flattened block list
+        total = sum(self.depths)
+        dpr = list(np.linspace(0, self.drop_path_rate, total))
+
+        num_features = []
+        outs = []
+        for i in range(num_layers):
+            if i == num_layers - 1 and self.strid16:
+                cur_dim = int(self.embed_dim * 2 ** (i - 1))
+            else:
+                cur_dim = int(self.embed_dim * 2 ** i)
+            num_features.append(cur_dim)
+
+            if i < num_layers - 2:
+                ds = "conv" if self.patch_merge_type == "conv" else "merge"
+            elif i == num_layers - 2:
+                ds = "reduce1c" if self.strid16 else (
+                    "conv" if self.patch_merge_type == "conv" else "merge")
+            else:
+                ds = None
+
+            x_out, x = BasicLayer(
+                dim=cur_dim, depth=self.depths[i], num_heads=self.num_heads[i],
+                window_size=window_size[i], mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop_path_rates=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
+                downsample=ds, use_checkpoint=use_ckpt[i],
+                init_values=self.init_values,
+                endnorm_interval=self.endnorm_interval,
+                use_mlp_norm=(i in self.use_mlp_norm_layers),
+                use_shift=use_shift[i],
+                attn_type=self.attn_type, rpe_table_type=self.rpe_table_type,
+                rpe_hidden_dim=self.rpe_hidden_dim,
+                rpe_output_type=self.rpe_output_type,
+                mlpfp32_blocks=self.mlpfp32_layer_blocks[i],
+                postnorm=self.postnorm,
+                pretrain_window_size=self.pretrain_window_size[i],
+                attn_impl=self.attn_impl, dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, deterministic)
+
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
+                x_out = jax.lax.stop_gradient(x_out)
+
+            if i in self.out_indices:
+                # fp32 output norm (ref :1269-1275), NHWC
+                y = LayerNormFP32(name=f"norm{i}")(x_out.astype(jnp.float32))
+                outs.append(y)
+
+        return outs

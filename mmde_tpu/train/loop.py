@@ -1,0 +1,218 @@
+"""Training driver: epoch loop, validation, checkpointing, logging.
+
+Capability parity with reference train.py main()/train()/validate()
+(train.py:63-401), re-structured around jitted steps:
+  * per-step LR from the poly schedule lives inside the optimizer (no
+    per-group python loop);
+  * one fused jitted train step per batch (forward+loss+bwd+update);
+  * validation computes the full depth metric suite + pose MSE/cycle metrics
+    on device with masked reductions;
+  * per-epoch orbax checkpoints + best-RMSE tracking + scalar logging.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmde_tpu import metrics as M
+from mmde_tpu.config import Config
+from mmde_tpu.models import build_model
+from mmde_tpu.train.optim import build_optimizer
+from mmde_tpu.train.step import (TrainState, init_model, make_eval_step,
+                                 make_train_step)
+from mmde_tpu.parallel.mesh import make_mesh, replicated_sharding
+from mmde_tpu.data.loader import DataLoader, device_prefetch
+from mmde_tpu.utils.logging import (AverageMeter, ScalarWriter, StepTimer,
+                                    display_result, log_args_to_txt)
+from mmde_tpu.ckpt import orbax_io
+
+METRIC_NAMES = M.ALL_METRIC_NAMES
+
+
+def build_datasets(cfg: Config, synthetic: bool = False):
+    """Dataset factory keyed on cfg.data.dataset (reference picks loaders at
+    train.py:102-108; see mmde_tpu.data for each)."""
+    if synthetic or cfg.data.dataset == "synthetic":
+        from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+        train = SyntheticTwoFrameDataset(num_samples=64, height=cfg.data.crop_h,
+                                         width=cfg.data.crop_w,
+                                         max_depth=cfg.model.max_depth)
+        val = SyntheticTwoFrameDataset(num_samples=8, height=cfg.data.crop_h,
+                                       width=cfg.data.crop_w,
+                                       max_depth=cfg.model.max_depth, seed=7)
+        return train, val
+    if cfg.data.dataset == "void":
+        from mmde_tpu.data.void_v3 import VoidV3
+        info_dir = os.path.join(os.path.dirname(__file__),
+                                "../data/void_meta")
+        train = VoidV3(cfg.data.data_path,
+                       os.path.join(info_dir, "train_image.txt"),
+                       os.path.join(info_dir, "calibration.json"),
+                       is_train=True,
+                       crop_size=(cfg.data.crop_h, cfg.data.crop_w),
+                       image_interval_range=cfg.data.image_interval_range,
+                       imu_max_len=cfg.data.imu_max_len)
+        val = VoidV3(cfg.data.data_path,
+                     os.path.join(info_dir, "test_image.txt"),
+                     os.path.join(info_dir, "calibration.json"),
+                     is_train=False,
+                     crop_size=(cfg.data.crop_h, cfg.data.crop_w),
+                     image_interval_range=cfg.data.image_interval_range,
+                     imu_max_len=cfg.data.imu_max_len)
+        return train, val
+    if cfg.data.dataset == "nyudepthv2":
+        from mmde_tpu.data.datasets import NYUDepthV2Pairs
+        fn = os.path.join(cfg.data.data_path, "filenames")
+        train = NYUDepthV2Pairs(cfg.data.data_path, fn, True,
+                                (cfg.data.crop_h, cfg.data.crop_w))
+        val = NYUDepthV2Pairs(cfg.data.data_path, fn, False,
+                              (cfg.data.crop_h, cfg.data.crop_w))
+        return train, val
+    raise ValueError(f"unknown dataset '{cfg.data.dataset}'")
+
+
+def validate(eval_step, state, val_loader, cfg: Config) -> Dict[str, float]:
+    """Full eval pass: depth metric suite on frame 1 (as the reference,
+    train.py:311-312) + pose metrics; averaged over batches."""
+    sums = {k: 0.0 for k in METRIC_NAMES}
+    loss_meters = {k: AverageMeter() for k in
+                   ("loss_depth", "loss_rotation", "loss_translation")}
+    n_batches = 0
+    for batch in val_loader:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        preds, aux = eval_step(state, arrays)
+        pred_d1 = jnp.squeeze(preds["pred_d1"], -1)
+        pred_c, gt_c, mask = M.eval_mask(
+            cfg.data.dataset, pred_d1, arrays["depth1"],
+            min_depth_eval=cfg.eval.min_depth_eval,
+            max_depth_eval=cfg.eval.max_depth_eval,
+            do_kb_crop=cfg.data.do_kb_crop, kitti_crop=cfg.data.kitti_crop)
+        depth_m = M.eval_depth_masked(pred_c, gt_c, mask)
+        pose_m = M.eval_pose(
+            {"R12": preds["pred_r12"], "T12": preds["pred_t12"],
+             "R21": preds.get("pred_r21"), "T21": preds.get("pred_t21")},
+            {"R12": arrays["R12"], "T12": arrays["T12"],
+             "R21": arrays.get("R21"), "T21": arrays.get("T21")})
+        for k, v in {**depth_m, **pose_m}.items():
+            sums[k] += float(v)
+        for k in loss_meters:
+            loss_meters[k].update(float(aux[k]), arrays["image1"].shape[0])
+        n_batches += 1
+    result = {k: v / max(n_batches, 1) for k, v in sums.items()}
+    losses = {k: m.avg for k, m in loss_meters.items()}
+    return result, losses
+
+
+def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None,
+          max_steps_per_epoch: Optional[int] = None,
+          use_mesh: bool = True) -> Dict[str, float]:
+    """Run the full training job; returns the last validation metrics."""
+    log_dir = log_dir or os.path.join(cfg.log_dir, time.strftime("%m%d_%H%M%S"))
+    os.makedirs(log_dir, exist_ok=True)
+    writer = ScalarWriter(log_dir)
+    log_txt = os.path.join(log_dir, "logs.txt")
+    log_args_to_txt(log_txt, cfg)
+    ckpt_dir = os.path.join(log_dir, "ckpt")
+
+    train_ds, val_ds = build_datasets(cfg, synthetic)
+    train_loader = DataLoader(train_ds, cfg.train.batch_size,
+                              shuffle=True, num_workers=cfg.data.workers,
+                              drop_last=True, seed=cfg.train.seed)
+    val_loader = DataLoader(val_ds, 1, shuffle=False,
+                            num_workers=min(cfg.data.workers, 2),
+                            drop_last=False)
+    steps_per_epoch = len(train_loader)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    model = build_model(cfg.model)
+    sample = next(iter(DataLoader(train_ds, cfg.train.batch_size,
+                                  shuffle=False, num_workers=0)))
+    sample_j = {k: jnp.asarray(v) for k, v in sample.items()
+                if isinstance(v, np.ndarray)}
+    params, batch_stats = init_model(model, jax.random.PRNGKey(cfg.train.seed),
+                                     sample_j)
+    tx, schedule = build_optimizer(
+        params, backbone=cfg.model.backbone, depths=cfg.model.swin.depths,
+        max_lr=cfg.train.max_lr, min_lr=cfg.train.min_lr,
+        weight_decay=cfg.train.weight_decay, layer_decay=cfg.train.layer_decay,
+        steps_per_epoch=steps_per_epoch, epochs=cfg.train.epochs)
+    state = TrainState.create(params, batch_stats, tx,
+                              jax.random.PRNGKey(cfg.train.seed + 1))
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1:
+        mesh = make_mesh()
+        state = jax.device_put(state, replicated_sharding(mesh))
+
+    step_fn = make_train_step(model, tx, decoder=cfg.model.decoder,
+                              lambda_rot=cfg.train.loss_lambda1,
+                              lambda_trans=cfg.train.loss_lambda2,
+                              silog_lambda=cfg.train.silog_lambda, mesh=mesh)
+    eval_fn = make_eval_step(model, decoder=cfg.model.decoder,
+                             lambda_rot=cfg.train.loss_lambda1,
+                             lambda_trans=cfg.train.loss_lambda2)
+
+    start_epoch = 1
+    if cfg.train.resume_from:
+        state, resumed = orbax_io.restore(cfg.train.resume_from, state)
+        start_epoch = resumed + 1
+        print(f"resumed from epoch {resumed} ({cfg.train.resume_from})")
+
+    best = orbax_io.BestTracker(ckpt_dir)
+    timer = StepTimer()
+    last_val = {}
+    for epoch in range(start_epoch, cfg.train.epochs + 1):
+        meters = {k: AverageMeter() for k in
+                  ("loss_total", "loss_depth", "loss_rotation",
+                   "loss_translation")}
+        for i, batch in enumerate(
+                device_prefetch(iter(train_loader), mesh=mesh)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            arrays = {k: v for k, v in batch.items()
+                      if not isinstance(v, list)}
+            state, aux = step_fn(state, arrays)
+            timer.tick()
+            for k in meters:
+                meters[k].update(float(aux[k]), cfg.train.batch_size)
+            if i % cfg.train.print_freq == 0:
+                lr = float(schedule(int(state.step) - 1))
+                line = (f"Epoch [{epoch}/{cfg.train.epochs}] step {i} "
+                        f"loss {meters['loss_total'].avg:.4f} "
+                        f"(d {meters['loss_depth'].avg:.4f} "
+                        f"R {meters['loss_rotation'].avg:.4f} "
+                        f"T {meters['loss_translation'].avg:.4f}) "
+                        f"lr {lr:.2e} "
+                        f"{timer.rate(cfg.train.batch_size):.1f} img/s")
+                print(line)
+                with open(log_txt, "a") as f:
+                    f.write(line + "\n")
+
+        for k, m in meters.items():
+            writer.add_scalar(f"train/{k}", m.avg, epoch)
+
+        if cfg.train.save_model and epoch % cfg.train.save_freq == 0:
+            orbax_io.save_epoch(ckpt_dir, state, epoch)
+
+        if epoch % cfg.train.val_freq == 0:
+            result, losses = validate(eval_fn, state, val_loader, cfg)
+            last_val = result
+            print(display_result(result))
+            with open(log_txt, "a") as f:
+                f.write(display_result(result))
+            for k, v in result.items():
+                writer.add_scalar(f"val/{k}", v, epoch)
+            for k, v in losses.items():
+                writer.add_scalar(f"val/{k}", v, epoch)
+            if cfg.train.save_model:
+                best.update(state, epoch, result["rmse"])
+
+    writer.close()
+    return last_val

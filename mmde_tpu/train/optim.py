@@ -1,0 +1,145 @@
+"""Optimizer: AdamW with Swin layer-wise LR decay and selective weight decay.
+
+Capability parity with the reference:
+  * SwinLayerDecayOptimizerConstructor (models/optimizer.py:35-104): per-
+    parameter lr scale = layer_decay_rate^(num_layers - layer_id - 1), where
+    layer_id is derived from the parameter's position in the network
+    (patch_embed -> 0, block j of stage i -> 1 + j + sum(stage depths before
+    i, each +1 for its patch-merging), downsample of stage i -> cumulative
+    boundary, everything else (decoder, heads) -> num_layers - 1);
+  * zero weight decay for 1-D params / biases / RPE-MLP /
+    relative_position_bias_table / logit_scale (models/optimizer.py:64-74);
+  * the polynomial warmup/decay LR schedule computed inline per step in the
+    reference (train.py:195-200).
+
+In optax this is a chain: scale_by_adam -> add_decayed_weights(mask) ->
+per-parameter static scale tree -> scale_by_learning_rate(schedule), which
+reproduces torch AdamW's decoupled update p -= lr*scale*(adam + wd*p).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+NO_DECAY_NAMES = ("relative_position_bias_table", "rpe_fc1", "rpe_fc2",
+                  "logit_scale")
+
+
+def poly_lr_schedule(max_lr: float, min_lr: float, steps_per_epoch: int,
+                     epochs: int, power: float = 0.9):
+    """Per-step LR: poly warmup for the first half of training then poly
+    decay, floored at min_lr (formula of reference train.py:195-200).
+
+    The reference increments global_step before computing the LR, so step
+    numbers here are 1-based: pass the optax step count + 1.
+    """
+    half = epochs // 2
+    denom = float(steps_per_epoch * half)
+
+    def schedule(count):
+        step = jnp.asarray(count, jnp.float32) + 1.0
+        frac = step / denom
+        warm = (max_lr - min_lr) * jnp.power(frac, power) + min_lr
+        # jnp.power of a negative base is nan; clamp — for frac>=1 only the
+        # decay branch is selected anyway.
+        decay_frac = jnp.maximum(frac - 1.0, 0.0)
+        decay = jnp.maximum(min_lr,
+                            (min_lr - max_lr) * jnp.power(decay_frac, power)
+                            + max_lr)
+        return jnp.where(step < denom, warm, decay)
+
+    return schedule
+
+
+def swin_layer_id(path: Tuple[str, ...], layers_per_stage: Sequence[int],
+                  num_layers: int) -> int:
+    """Map a flax param path to its depth index (models/optimizer.py:14-32).
+
+    `layers_per_stage` must already include the +1 patch-merging increment
+    for every stage but the last.
+    """
+    parts = [str(p) for p in path]
+    if any(p.startswith("patch_embed") for p in parts) or \
+            "absolute_pos_embed" in parts:
+        return 0
+    for i, p in enumerate(parts):
+        if p.startswith("layers_"):
+            stage = int(p.split("_")[1])
+            rest = parts[i + 1:]
+            if rest and rest[0].startswith("blocks_"):
+                block = int(rest[0].split("_")[1])
+                return 1 + block + sum(layers_per_stage[:stage])
+            if rest and rest[0] == "downsample":
+                return sum(layers_per_stage[:stage + 1])
+            break
+    return num_layers - 1
+
+
+def build_layer_scales(params, depths: Sequence[int], layer_decay_rate: float):
+    """Pytree of static per-parameter LR scales."""
+    layers_per_stage = [d + 1 for d in depths[:-1]] + [depths[-1]]
+    num_layers = sum(layers_per_stage) + 2   # + patch embed, head
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def scale_of(path):
+        keys = tuple(getattr(k, "key", getattr(k, "idx", str(k)))
+                     for k in path)
+        lid = swin_layer_id(keys, layers_per_stage, num_layers)
+        return layer_decay_rate ** (num_layers - lid - 1)
+
+    scales = {jax.tree_util.keystr(p): scale_of(p) for p, _ in flat}
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [scale_of(p) for p, _ in flat]), scales
+
+
+def weight_decay_mask(params):
+    """True where weight decay applies (models/optimizer.py:64-74): skip 1-D
+    params, biases, and the RPE/logit-scale parameters."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def decay(path, leaf):
+        keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        if leaf.ndim <= 1:
+            return False
+        if any(nd in k for nd in NO_DECAY_NAMES for k in keys):
+            return False
+        return True
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [decay(p, l) for p, l in flat])
+
+
+def _scale_by_tree(scales):
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(params, *, backbone: str, depths: Sequence[int],
+                    max_lr: float, min_lr: float, weight_decay: float,
+                    layer_decay: float, steps_per_epoch: int, epochs: int,
+                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """AdamW + (for swin backbones) layer-decay scaling + poly LR schedule.
+
+    Matches the construction at reference train.py:113-115. For non-swin
+    backbones the reference's training loop applies a flat LR
+    (train.py:203), so scales collapse to 1.
+    """
+    schedule = poly_lr_schedule(max_lr, min_lr, steps_per_epoch, epochs)
+    chain = [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+             optax.add_decayed_weights(weight_decay, weight_decay_mask(params))]
+    if "swin" in backbone:
+        scales, _ = build_layer_scales(params, depths, layer_decay)
+        chain.append(_scale_by_tree(scales))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain), schedule

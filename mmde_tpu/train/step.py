@@ -1,0 +1,118 @@
+"""Jitted train / eval steps and the TrainState container.
+
+The reference's inner loop (train.py:191-249) does per-tensor host->device
+copies, a DataParallel scatter/gather, and separate backward/step calls.
+Here one jitted function fuses forward, loss, backward, optimizer update and
+metric scalars; under a Mesh the batch is sharded on the data axis and XLA
+inserts the gradient psum. Donated state buffers avoid HBM copies.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct, core
+
+from mmde_tpu.losses import total_loss
+from mmde_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, batch_stats, tx, rng):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   rng=rng)
+
+
+def init_model(model, rng, sample_batch, train: bool = False):
+    """Initialize params + batch_stats from a sample batch."""
+    variables = model.init({"params": rng}, sample_batch["image1"],
+                           sample_batch["image2"], train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    return params, batch_stats
+
+
+def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
+                    lambda_trans: float, silog_lambda: float = 0.5,
+                    donate: bool = True, mesh=None):
+    """Build the jitted train step.
+
+    step(state, batch) -> (new_state, metrics dict of scalars)
+    batch keys: image1, image2 (B,H,W,3), depth1, depth2 (B,H,W),
+    R12, T12 [, R21, T21].
+    """
+
+    def loss_fn(params, batch_stats, batch, rngs):
+        out, mutations = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image1"], batch["image2"], True,
+            rngs=rngs, mutable=["batch_stats"])
+        loss, aux = total_loss(out, batch, decoder=decoder,
+                               lambda_rot=lambda_rot,
+                               lambda_trans=lambda_trans,
+                               silog_lambda=silog_lambda)
+        return loss, (aux, mutations.get("batch_stats", batch_stats))
+
+    def train_step(state: TrainState, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        rngs = {"dropout": jax.random.fold_in(step_rng, 0),
+                "droppath": jax.random.fold_in(step_rng, 1)}
+        grads, (aux, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rngs)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, aux
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        dat = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, dat)
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(train_step, **kwargs)
+
+
+def make_eval_step(model, *, decoder: str, lambda_rot: float,
+                   lambda_trans: float, silog_lambda: float = 0.5, mesh=None):
+    """Jitted eval forward + losses. Returns (preds, loss aux)."""
+
+    def eval_step(state: TrainState, batch):
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          batch["image1"], batch["image2"], False)
+        _, aux = total_loss(out, batch, decoder=decoder,
+                            lambda_rot=lambda_rot, lambda_trans=lambda_trans,
+                            silog_lambda=silog_lambda)
+        return out, aux
+
+    kwargs = {}
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        dat = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, dat)
+        kwargs["out_shardings"] = (dat, rep)
+    return jax.jit(eval_step, **kwargs)
+
+
+def make_forward(model):
+    """Plain jittable inference forward (for TTA/serving)."""
+
+    def forward(variables, frame1, frame2):
+        return model.apply(variables, frame1, frame2, False)
+
+    return forward

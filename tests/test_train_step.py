@@ -1,0 +1,129 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmde_tpu.config import ModelConfig, CnnTransformerConfig
+from mmde_tpu.models import build_model
+from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+from mmde_tpu.train.optim import build_optimizer, poly_lr_schedule
+from mmde_tpu.train.step import TrainState, init_model, make_train_step, \
+    make_eval_step
+from mmde_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def small_cfg():
+    return ModelConfig(backbone="resnet_only_multi_scale",
+                       decoder="decoder_v2", model_scale=16, max_depth=10.0,
+                       cnn=CnnTransformerConfig(cnn_model="resnet18"),
+                       use_pallas_attention=False)
+
+
+def make_batch(batch_size=2, H=64, W=96):
+    ds = SyntheticTwoFrameDataset(num_samples=batch_size * 2, height=H, width=W)
+    return next(ds.batches(batch_size, 1))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    model = build_model(cfg)
+    batch = make_batch()
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), jbatch)
+    tx, sched = build_optimizer(
+        params, backbone=cfg.backbone, depths=(2, 2, 18, 2), max_lr=5e-4,
+        min_lr=3e-5, weight_decay=0.05, layer_decay=0.9,
+        steps_per_epoch=10, epochs=4)
+    state = TrainState.create(params, batch_stats, tx, jax.random.PRNGKey(1))
+    return cfg, model, tx, state, jbatch
+
+
+class TestTrainStep:
+    def test_loss_decreases_over_steps(self, setup):
+        cfg, model, tx, state, batch = setup
+        step = make_train_step(model, tx, decoder=cfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0,
+                               donate=False)
+        losses = []
+        for _ in range(5):
+            state, aux = step(state, batch)
+            losses.append(float(aux["loss_total"]))
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+
+    def test_eval_step_shapes(self, setup):
+        cfg, model, tx, state, batch = setup
+        estep = make_eval_step(model, decoder=cfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0)
+        preds, aux = estep(state, batch)
+        B, H, W, _ = batch["image1"].shape
+        assert preds["pred_d1"].shape == (B, H, W, 1)
+        assert preds["pred_r12"].shape == (B, 9)
+        assert np.isfinite(float(aux["loss_total"]))
+
+    def test_depth_bounded_by_max_depth(self, setup):
+        cfg, model, tx, state, batch = setup
+        estep = make_eval_step(state_model := model, decoder=cfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0)
+        preds, _ = estep(state, batch)
+        d = np.asarray(preds["pred_d1"])
+        assert (d > 0).all() and (d < cfg.max_depth).all()
+
+
+class TestDataParallel:
+    def test_eight_device_mesh_step(self, setup):
+        cfg, model, tx, state, _ = setup
+        assert jax.device_count() >= 8, "conftest should give 8 CPU devices"
+        mesh = make_mesh(8)
+        batch = jax.tree.map(jnp.asarray, make_batch(batch_size=8))
+        step = make_train_step(model, tx, decoder=cfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0,
+                               donate=False, mesh=mesh)
+        from mmde_tpu.parallel.mesh import replicated_sharding
+        sstate = jax.device_put(state, replicated_sharding(mesh))
+        sbatch = shard_batch(batch, mesh)
+        new_state, aux = step(sstate, sbatch)
+        assert np.isfinite(float(aux["loss_total"]))
+        # params stay replicated and in sync
+        leaf = jax.tree.leaves(new_state.params)[0]
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_sharded_grads_match_single_device(self, setup):
+        """The psum-reduced data-parallel gradient step must equal the
+        single-device step on the same global batch."""
+        cfg, model, tx, state, _ = setup
+        batch = jax.tree.map(jnp.asarray, make_batch(batch_size=8))
+        step1 = make_train_step(model, tx, decoder=cfg.decoder,
+                                lambda_rot=100.0, lambda_trans=100.0,
+                                donate=False)
+        mesh = make_mesh(8)
+        from mmde_tpu.parallel.mesh import replicated_sharding
+        stepN = make_train_step(model, tx, decoder=cfg.decoder,
+                                lambda_rot=100.0, lambda_trans=100.0,
+                                donate=False, mesh=mesh)
+        s1, aux1 = step1(state, batch)
+        sN, auxN = stepN(jax.device_put(state, replicated_sharding(mesh)),
+                         shard_batch(batch, mesh))
+        np.testing.assert_allclose(float(aux1["loss_total"]),
+                                   float(auxN["loss_total"]), rtol=2e-4)
+        p1 = jax.tree.leaves(s1.params)[0]
+        pN = jax.tree.leaves(sN.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(pN),
+                                   rtol=2e-3, atol=2e-5)
+
+
+class TestSchedule:
+    def test_poly_lr_matches_reference_formula(self):
+        max_lr, min_lr, iters, epochs = 5e-4, 3e-5, 7, 10
+        sched = poly_lr_schedule(max_lr, min_lr, iters, epochs)
+        half = epochs // 2
+        for count in [0, 3, 10, 34, 35, 50, 69]:
+            gs = count + 1  # reference increments global_step pre-LR
+            if gs < iters * half:
+                expect = (max_lr - min_lr) * (gs / iters / half) ** 0.9 + min_lr
+            else:
+                expect = max(min_lr,
+                             (min_lr - max_lr) * (gs / iters / half - 1) ** 0.9
+                             + max_lr)
+            assert np.isclose(float(sched(count)), expect, rtol=1e-5), count
