@@ -40,6 +40,12 @@ class ModelConfig:
     decoder: str = "decoder_v1"             # "decoder_v1" | "decoder_v2"
     model_scale: int = 16                   # 16 | 32
     max_depth: float = 10.0
+    # model family: "two_frame" (IDEDepth equivalent), "glpdepth_scale16"
+    # (fused out_p custom network), "glpdepth" (legacy single-frame)
+    family: str = "two_frame"
+    # sparse-depth fusion (depth completion): feed sparse depth + validity
+    # as extra input channels (VOID downscale16 depth-completion path)
+    sparse_depth_input: bool = False
     swin: SwinConfig = field(default_factory=SwinConfig)
     cnn: CnnTransformerConfig = field(default_factory=CnnTransformerConfig)
     # numerics

@@ -17,13 +17,14 @@ from mmde_tpu import geometry as geo
 class SyntheticTwoFrameDataset:
     def __init__(self, num_samples: int = 64, height: int = 96,
                  width: int = 128, max_depth: float = 10.0, seed: int = 0,
-                 imu_max_len: int = 32):
+                 imu_max_len: int = 32, sparse_depth: bool = False):
         self.num_samples = num_samples
         self.height = height
         self.width = width
         self.max_depth = max_depth
         self.seed = seed
         self.imu_max_len = imu_max_len
+        self.sparse_depth = sparse_depth
 
     def __len__(self):
         return self.num_samples
@@ -58,13 +59,20 @@ class SyntheticTwoFrameDataset:
         imu_ts = np.zeros((self.imu_max_len,), np.float32)
         imu_ts[:n_imu] = np.sort(rng.random(n_imu)).astype(np.float32)
 
-        return {
+        out = {
             "image1": img1, "image2": img2,
             "depth1": depth1, "depth2": depth2,
             "R12": R12, "T12": T12, "R21": R21, "T21": T21,
             "imu_data": imu, "imu_len": np.int32(n_imu),
             "imu_timestamp": imu_ts,
         }
+        if self.sparse_depth:
+            # VIO-style sparse depth: keep ~5% of valid pixels
+            keep1 = rng.random((H, W)) < 0.05
+            keep2 = rng.random((H, W)) < 0.05
+            out["sparse_depth1"] = np.where(keep1, depth1, 0.0).astype(np.float32)
+            out["sparse_depth2"] = np.where(keep2, depth2, 0.0).astype(np.float32)
+        return out
 
     def batches(self, batch_size: int, steps: int) -> Iterator[Dict[str, np.ndarray]]:
         """Yield `steps` stacked batches (cycling through samples)."""

@@ -139,6 +139,10 @@ class _SceneCache:
         self.images = sorted(glob(os.path.join(base, "image", "*.png")))
         self.depths = sorted(glob(os.path.join(base, "ground_truth", "*.png")))
         self.poses = sorted(glob(os.path.join(base, "absolute_pose", "*.txt")))
+        # VOID release also ships VIO sparse depth + validity maps — the
+        # depth-completion modality (optional).
+        self.sparse = sorted(glob(os.path.join(base, "sparse_depth", "*.png")))
+        self.validity = sorted(glob(os.path.join(base, "validity_map", "*.png")))
         self.K = np.loadtxt(os.path.join(base, "K.txt"), dtype=np.float64)
         self.calib = calib
         self._maps = None
@@ -154,6 +158,14 @@ class _SceneCache:
             self._maps = cv2.initUndistortRectifyMap(
                 self.K, self.calib.dist_coeffs, None, new_K, (w, h),
                 cv2.CV_32FC1)
+        # native C++ remap (row-parallel, cv2-equivalent semantics) when
+        # built; cv2 otherwise
+        from mmde_tpu import native
+        if native.available():
+            if img.dtype == np.uint8:
+                return native.remap_u8(img, self._maps[0], self._maps[1])
+            if img.dtype == np.float32 and img.ndim == 2:
+                return native.remap_f32(img, self._maps[0], self._maps[1])
         return cv2.remap(img, self._maps[0], self._maps[1], cv2.INTER_LINEAR)
 
     def stamp(self, order: int) -> float:
@@ -168,7 +180,9 @@ class VoidV3:
                  is_train: bool = True, crop_size: Tuple[int, int] = (448, 576),
                  image_interval_range: Tuple[int, int] = (5, 5),
                  imu_max_len: int = 256, seed: int = 0,
-                 distortion_mode: str = "reference"):
+                 distortion_mode: str = "reference",
+                 load_sparse_depth: bool = False):
+        self.load_sparse_depth = load_sparse_depth
         self.release_dir = os.path.join(data_path, "void_release/void_1500/data")
         self.raw_dir = os.path.join(data_path, "void_raw")
         self.is_train = is_train
@@ -207,6 +221,16 @@ class VoidV3:
         img1, dep1, img1_u, dep1_u, T01, t1 = self._load_frame(sc, o1)
         img2, dep2, img2_u, dep2_u, T02, t2 = self._load_frame(sc, o2)
 
+        sparse = {}
+        if self.load_sparse_depth and sc.sparse:
+            sd1 = load_depth_png(sc.sparse[o1]) / 1000.0
+            sd2 = load_depth_png(sc.sparse[o2]) / 1000.0
+            if self.is_train:  # keep geometry aligned with the center crop
+                sd1, sd2 = aug.center_crop(sd1, sd2, self.policy.crop_h,
+                                           self.policy.crop_w)
+            sparse = {"sparse_depth1": sd1.astype(np.float32),
+                      "sparse_depth2": sd2.astype(np.float32)}
+
         _, T12, R12, w12, aa12 = geo.relative_pose_parts(T01, T02)
         _, T21, R21, w21, aa21 = geo.relative_pose_parts(T02, T01)
 
@@ -244,4 +268,5 @@ class VoidV3:
             "w21": f32(w21.reshape(3)), "AxisAngle21": f32(aa21.reshape(4)),
             "imu_timestamp": ts_pad, "imu_data": imu_pad,
             "imu_len": np.int32(n),
+            **sparse,
         }

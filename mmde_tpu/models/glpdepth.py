@@ -93,7 +93,8 @@ class GLPDepthScale16(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, frame1, frame2, train: bool = False):
+    def __call__(self, frame1, frame2, sparse1=None, sparse2=None,
+                 train: bool = False):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         b = self.cfg.backbone
         if "swin" in b:
@@ -115,6 +116,19 @@ class GLPDepthScale16(nn.Module):
         else:
             embed_dim = 128
             encoder = _build_encoder(self.cfg, dtype)
+
+        if self.cfg.sparse_depth_input and sparse1 is not None:
+            # depth-completion fusion: sparse depth (normalized by max_depth)
+            # + validity mask as extra input channels for both frames
+            def fuse(frame, sparse):
+                sd = sparse / self.cfg.max_depth
+                valid = (sparse > 0).astype(frame.dtype)
+                return jnp.concatenate(
+                    [frame, sd[..., None] if sd.ndim == frame.ndim - 1 else sd,
+                     valid[..., None] if valid.ndim == frame.ndim - 1 else valid],
+                    axis=-1)
+            frame1 = fuse(frame1, sparse1)
+            frame2 = fuse(frame2, sparse2 if sparse2 is not None else sparse1)
 
         frames = jnp.concatenate([frame1, frame2], axis=0).astype(dtype)
         if isinstance(encoder, SwinTransformerV2):
@@ -154,6 +168,24 @@ class GLPDepthScale16(nn.Module):
         depth = jax.nn.sigmoid(d.astype(jnp.float32)) * self.cfg.max_depth
         return {"pred_d1": depth[..., 0:1], "pred_d2": depth[..., 1:2],
                 "out_p": out_p}
+
+
+class Scale16TwoFrame(nn.Module):
+    """Adapter exposing GLPDepthScale16 through the standard two-frame
+    prediction dict (out_p split into pred_r12/pred_t12; no reverse
+    direction, like decoder_v1). Keeps the raw `out_p` for the legacy
+    WeightedMSE(out_p, rel_pose12) training objective."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, frame1, frame2, train: bool = False,
+                 sparse1=None, sparse2=None):
+        out = GLPDepthScale16(cfg=self.cfg, name="net")(
+            frame1, frame2, sparse1, sparse2, train)
+        out_p = out["out_p"]
+        return {"pred_d1": out["pred_d1"], "pred_d2": out["pred_d2"],
+                "pred_r12": out_p[:, :9], "pred_t12": out_p[:, 9:12],
+                "pred_r21": None, "pred_t21": None, "out_p": out_p}
 
 
 class _WideRegression(nn.Module):

@@ -122,7 +122,9 @@ class TwoFrameDepthPose(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, frame1, frame2, train: bool = False):
+    def __call__(self, frame1, frame2, train: bool = False,
+                 sparse1=None, sparse2=None):
+        del sparse1, sparse2  # RGB-only family (see glpdepth_scale16 fusion)
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         plan = build_plan(self.cfg)
         encoder = _build_encoder(self.cfg, dtype)
@@ -162,5 +164,15 @@ class TwoFrameDepthPose(nn.Module):
         }
 
 
-def build_model(cfg: ModelConfig) -> TwoFrameDepthPose:
+def build_model(cfg: ModelConfig) -> nn.Module:
+    """Model factory over the three families (cfg.family):
+    two_frame (IDEDepth equivalent), glpdepth_scale16 (fused out_p custom
+    network with optional sparse-depth fusion), glpdepth (legacy
+    single-frame)."""
+    if cfg.family == "glpdepth":
+        from mmde_tpu.models.glpdepth import GLPDepth
+        return GLPDepth(cfg=cfg)
+    if cfg.family == "glpdepth_scale16":
+        from mmde_tpu.models.glpdepth import Scale16TwoFrame
+        return Scale16TwoFrame(cfg=cfg)
     return TwoFrameDepthPose(cfg=cfg)

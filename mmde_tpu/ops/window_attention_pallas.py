@@ -1,12 +1,16 @@
 """Fused Pallas TPU kernel for SwinV2 cosine window attention.
 
-One grid cell per (window, head): the full N x N attention matrix lives in
-VMEM only (N = window_size^2 <= 900 for the reference configs -> ~3.2 MB
-fp32), so the qk product, temperature scaling, RPE bias add, shift mask add,
-softmax and the @v contraction all fuse into a single kernel with no HBM
-round-trip for the attention matrix. XLA, by contrast, materializes the
+One grid cell per (window, head, q-row-block): the attention tile lives in
+VMEM only, so the qk product, temperature scaling, RPE bias add, shift mask
+add, softmax and the @v contraction all fuse into a single kernel with no
+HBM round-trip for the attention matrix. XLA, by contrast, materializes the
 (B*nW, nH, N, N) logits tensor in HBM between the two matmuls — at
-swin-base 480x480 that is ~50 MB per window-batch of traffic each way.
+swin-base 480x480 that is ~50 MB of traffic each way per layer.
+
+For large windows (N = 900 at window 30) the q dimension is tiled so the
+per-cell footprint (q tile + full k/v + (BQ, N) logits + bias/mask tiles)
+stays within the 16 MB VMEM budget. Tiling over q rows is exact — every
+cell sees all keys, so no online-softmax rescaling is needed.
 
 Dispatch: `window_attention(..., impl=)` — "pallas" uses this kernel on TPU
 (interpret mode elsewhere, so tests validate the kernel logic on CPU);
@@ -29,19 +33,28 @@ from jax.experimental.pallas import tpu as pltpu
 from mmde_tpu.ops.window_attention import (
     MAX_LOGIT_SCALE, cosine_window_attention as _xla_cosine)
 
+# Windows with up to this many tokens run as a single whole-window block;
+# larger ones are padded to a multiple of _BQ and tiled over q rows (the TPU
+# lowering requires q-tile row counts divisible by 8, and e.g. 900 has no
+# such divisor, so padding + tiling is the general scheme).
+_MAX_SINGLE = 512
+_BQ = 256
+_NEG_INF = -1e9
+
 
 def _kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
-    """Body for one (window, head) cell. Refs:
-    ls (1, 1) SMEM; q/k/v (1, 1, N, Dh); bias (1, N, N); mask (1, N, N) or
-    None; out (1, 1, N, Dh)."""
-    q = q_ref[0, 0].astype(jnp.float32)                 # (N, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)
+    """One (window, head, q-block) cell. Refs:
+    ls (nH, 1) whole-array SMEM; q (1, 1, BQ, Dh); k/v (1, 1, N, Dh);
+    bias (1, BQ, N); mask (1, BQ, N) or None; out (1, 1, BQ, Dh)."""
+    q = q_ref[0, 0].astype(jnp.float32)                 # (BQ, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)                 # (N, Dh)
     v = v_ref[0, 0]
 
     qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
     kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
 
-    scale = jnp.exp(jnp.minimum(ls_ref[0, 0], MAX_LOGIT_SCALE))
+    h = pl.program_id(1)
+    scale = jnp.exp(jnp.minimum(ls_ref[h, 0], MAX_LOGIT_SCALE))
     s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * scale
@@ -59,43 +72,64 @@ def _kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _mask_free_kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
+    _kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, None, out_ref)
+
+
 def _pallas_forward(q, k, v, logit_scale, bias, mask, interpret: bool):
     B, nH, N, Dh = q.shape
     ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
 
-    qkv_spec = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0))
-    bias_spec = pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0))
-    ls_spec = pl.BlockSpec((1, 1), lambda b, h: (h, 0),
-                           memory_space=pltpu.SMEM)
+    if N <= _MAX_SINGLE:
+        BQ, Np = N, N
+    else:
+        BQ = _BQ
+        Np = -(-N // _BQ) * _BQ
+    nQ = Np // BQ
 
-    in_specs = [ls_spec, qkv_spec, qkv_spec, qkv_spec, bias_spec]
+    if Np != N:
+        pad = Np - N
+        qkv_pad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, qkv_pad)
+        k = jnp.pad(k, qkv_pad)
+        v = jnp.pad(v, qkv_pad)
+        # padded KEY columns must never win the softmax: pad bias with -1e9
+        # (padded q rows produce garbage that is sliced off below)
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)),
+                       constant_values=_NEG_INF)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, pad), (0, pad)))
+
+    ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)    # whole (nH, 1) array
+    q_spec = pl.BlockSpec((1, 1, BQ, Dh), lambda b, h, iq: (b, h, iq, 0))
+    kv_spec = pl.BlockSpec((1, 1, Np, Dh), lambda b, h, iq: (b, h, 0, 0))
+    bias_spec = pl.BlockSpec((1, BQ, Np), lambda b, h, iq: (h, iq, 0))
+
+    in_specs = [ls_spec, q_spec, kv_spec, kv_spec, bias_spec]
     args = [ls2, q, k, v, bias]
     if mask is not None:
         nW = mask.shape[0]
-        mask_spec = pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0))
+        mask_spec = pl.BlockSpec((1, BQ, Np), lambda b, h, iq: (b % nW, iq, 0))
         in_specs.append(mask_spec)
         args.append(mask)
         kernel = _kernel
     else:
         kernel = _mask_free_kernel
 
-    out_spec = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, BQ, Dh), lambda b, h, iq: (b, h, iq, 0))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B, nH),
+        grid=(B, nH, nQ),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nH, N, Dh), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nH, Np, Dh), v.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")) if not interpret
-        else None,
+            dimension_semantics=("parallel", "parallel", "parallel"))
+        if not interpret else None,
     )(*args)
-
-
-def _mask_free_kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
-    _kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, None, out_ref)
+    return out[:, :, :N] if Np != N else out
 
 
 def _on_tpu() -> bool:

@@ -168,6 +168,7 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
     best = orbax_io.BestTracker(ckpt_dir)
     timer = StepTimer()
     last_val = {}
+    epoch_losses = []
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         meters = {k: AverageMeter() for k in
                   ("loss_total", "loss_depth", "loss_rotation",
@@ -197,6 +198,7 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
 
         for k, m in meters.items():
             writer.add_scalar(f"train/{k}", m.avg, epoch)
+        epoch_losses.append(meters["loss_total"].avg)
 
         if cfg.train.save_model and epoch % cfg.train.save_freq == 0:
             orbax_io.save_epoch(ckpt_dir, state, epoch)
@@ -213,6 +215,21 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
                 writer.add_scalar(f"val/{k}", v, epoch)
             if cfg.train.save_model:
                 best.update(state, epoch, result["rmse"])
+
+    # end-of-training loss-curve artifact (ref train.py:174-177)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.figure()
+        plt.plot(range(1, len(epoch_losses) + 1), epoch_losses, label="avg")
+        plt.xlabel("epoch")
+        plt.ylabel("train loss")
+        plt.legend()
+        plt.savefig(os.path.join(log_dir, "Train_Losses.png"))
+        plt.close()
+    except Exception:
+        pass
 
     writer.close()
     return last_val

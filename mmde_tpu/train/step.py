@@ -36,8 +36,13 @@ class TrainState(struct.PyTreeNode):
 
 def init_model(model, rng, sample_batch, train: bool = False):
     """Initialize params + batch_stats from a sample batch."""
+    kwargs = {}
+    if "sparse_depth1" in sample_batch:
+        kwargs = {"sparse1": sample_batch["sparse_depth1"],
+                  "sparse2": sample_batch.get("sparse_depth2",
+                                              sample_batch["sparse_depth1"])}
     variables = model.init({"params": rng}, sample_batch["image1"],
-                           sample_batch["image2"], train)
+                           sample_batch["image2"], train, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     return params, batch_stats
@@ -54,10 +59,15 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
     """
 
     def loss_fn(params, batch_stats, batch, rngs):
+        kwargs = {}
+        if "sparse_depth1" in batch:
+            kwargs = {"sparse1": batch["sparse_depth1"],
+                      "sparse2": batch.get("sparse_depth2",
+                                           batch["sparse_depth1"])}
         out, mutations = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image1"], batch["image2"], True,
-            rngs=rngs, mutable=["batch_stats"])
+            rngs=rngs, mutable=["batch_stats"], **kwargs)
         loss, aux = total_loss(out, batch, decoder=decoder,
                                lambda_rot=lambda_rot,
                                lambda_trans=lambda_trans,
@@ -92,9 +102,14 @@ def make_eval_step(model, *, decoder: str, lambda_rot: float,
     """Jitted eval forward + losses. Returns (preds, loss aux)."""
 
     def eval_step(state: TrainState, batch):
+        kwargs = {}
+        if "sparse_depth1" in batch:
+            kwargs = {"sparse1": batch["sparse_depth1"],
+                      "sparse2": batch.get("sparse_depth2",
+                                           batch["sparse_depth1"])}
         out = model.apply({"params": state.params,
                            "batch_stats": state.batch_stats},
-                          batch["image1"], batch["image2"], False)
+                          batch["image1"], batch["image2"], False, **kwargs)
         _, aux = total_loss(out, batch, decoder=decoder,
                             lambda_rot=lambda_rot, lambda_trans=lambda_trans,
                             silog_lambda=silog_lambda)

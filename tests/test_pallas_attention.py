@@ -52,6 +52,15 @@ class TestPallasForward:
             np.asarray(ours, np.float32), np.asarray(ref, np.float32),
             rtol=5e-2, atol=5e-2)
 
+    def test_large_window_padded_tiling(self):
+        """N > 512 triggers the padded q-tiling path (e.g. window 30 ->
+        N=900 in the flagship config); must still match XLA exactly."""
+        q, k, v, ls, bias, mask = _inputs(B=2, nH=1, N=600, Dh=8, nW=2)
+        ours = cosine_window_attention_pallas(q, k, v, ls, bias, mask)
+        ref = cosine_window_attention(q, k, v, ls, bias, mask)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_under_jit(self):
         q, k, v, ls, bias, mask = _inputs()
         f = jax.jit(lambda *a: cosine_window_attention_pallas(*a, mask))
