@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    # persistent compilation cache: first-time compiles of the flagship
+    # train step take minutes through the remote-compile tunnel; cached
+    # executables make repeat benchmark runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     from mmde_tpu.config import ModelConfig, SwinConfig
     from mmde_tpu.models import build_model

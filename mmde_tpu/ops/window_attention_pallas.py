@@ -42,14 +42,18 @@ from mmde_tpu.ops.window_attention import (
 # e.g. 900 has no such divisor, so N is padded to a multiple of 8*nQ —
 # window 30 -> N=900 -> Np=912, BQ=456, only 1.3% padding).
 _MAX_SINGLE = 512
+# The backward kernel keeps ~5 (BQ, Np) intermediates + the dbias output
+# tile live, so its q tiles must be smaller to fit 16 MB VMEM.
+_MAX_SINGLE_BWD = 256
 _NEG_INF = -1e9
 
 
-def _tile_plan(n: int):
-    """(BQ, Np, nQ) for a window of n tokens."""
-    if n <= _MAX_SINGLE:
+def _tile_plan(n: int, max_single: int = _MAX_SINGLE):
+    """(BQ, Np, nQ) for a window of n tokens: minimal number of 8-divisible
+    q tiles covering n with the least padding."""
+    if n <= max_single:
         return n, n, 1
-    nq = -(-n // _MAX_SINGLE)
+    nq = -(-n // max_single)
     step = 8 * nq
     np_ = -(-n // step) * step
     return np_ // nq, np_, nq
@@ -207,15 +211,18 @@ def _bwd_kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, g_ref,
     def _():
         dbias_ref[0] += ds
 
-    # d(logit_scale): a * sum(dS * C), gated by the clamp
+    # d(logit_scale): a * sum(dS * C), gated by the clamp. TPU VMEM stores
+    # must be vectors: accumulate the scalar into lane 0 of the head's row.
     gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
     dls_val = scale * jnp.sum(ds * c) * gate
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    contrib = jnp.where(lane == 0, dls_val, 0.0)
 
     @pl.when(first_cell)
     def _():
-        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dls_ref[:, :] = jnp.zeros(dls_ref.shape, jnp.float32)
 
-    dls_ref[h, 0] += dls_val
+    dls_ref[pl.ds(h, 1), :] += contrib
 
     # dq (written once per cell)
     dqn = scale * jax.lax.dot_general(ds, kn, (((1,), (0,)), ((), ())),
@@ -253,7 +260,7 @@ def _pallas_backward(q, k, v, logit_scale, bias, mask, g, interpret: bool):
     in_dtype = q.dtype
     ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
 
-    BQ, Np, nQ = _tile_plan(N)
+    BQ, Np, nQ = _tile_plan(N, _MAX_SINGLE_BWD)
     if Np != N:
         pad = Np - N
         qkv_pad = ((0, 0), (0, 0), (0, pad), (0, 0))

@@ -160,7 +160,16 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
                              lambda_trans=cfg.train.loss_lambda2)
 
     start_epoch = 1
-    if cfg.train.resume_from:
+    if cfg.train.resume_from == "auto":
+        # auto-resume from the newest checkpoint in this run's ckpt dir
+        # (live version of the reference's commented-out glob,
+        # train.py:123-131 / backup/train_.py:152-162)
+        latest = orbax_io.latest_epoch(ckpt_dir)
+        if latest is not None:
+            state, resumed = orbax_io.restore(ckpt_dir, state, latest)
+            start_epoch = resumed + 1
+            print(f"auto-resumed from epoch {resumed}")
+    elif cfg.train.resume_from:
         state, resumed = orbax_io.restore(cfg.train.resume_from, state)
         start_epoch = resumed + 1
         print(f"resumed from epoch {resumed} ({cfg.train.resume_from})")

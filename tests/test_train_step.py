@@ -46,11 +46,13 @@ class TestTrainStep:
                                lambda_rot=100.0, lambda_trans=100.0,
                                donate=False)
         losses = []
-        for _ in range(5):
+        for _ in range(15):
             state, aux = step(state, batch)
             losses.append(float(aux["loss_total"]))
         assert np.all(np.isfinite(losses))
-        assert losses[-1] < losses[0], losses
+        # optimizing a fixed batch must reduce the loss once the poly
+        # warmup has brought the LR up (early steps can wander)
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
     def test_eval_step_shapes(self, setup):
         cfg, model, tx, state, batch = setup
