@@ -77,16 +77,18 @@ def main():
     step = make_train_step(model, tx, decoder=cfg.decoder, lambda_rot=100.0,
                            lambda_trans=100.0, donate=True)
 
-    # warmup / compile
+    # warmup / compile. NOTE: under the axon remote runtime,
+    # block_until_ready returns before execution completes; fetching the
+    # scalar value is the only reliable sync, so we force it.
     state, aux = step(state, batch)
-    jax.block_until_ready(aux["loss_total"])
+    float(aux["loss_total"])
     state, aux = step(state, batch)
-    jax.block_until_ready(aux["loss_total"])
+    float(aux["loss_total"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, aux = step(state, batch)
-    jax.block_until_ready(aux["loss_total"])
+    float(aux["loss_total"])
     dt = time.perf_counter() - t0
 
     n_chips = 1  # single-chip bench

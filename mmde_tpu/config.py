@@ -57,6 +57,9 @@ class ModelConfig:
 class DataConfig:
     dataset: str = "void"                   # void | nyudepthv2 | kitti | ...
     data_path: str = ""
+    # VOID metadata (split lists + calibration.json). Empty -> <data_path>/meta
+    # (tools/make_void_lists.py generates the lists from the release layout)
+    void_meta_dir: str = ""
     crop_h: int = 480
     crop_w: int = 480
     image_interval_range: Tuple[int, int] = (5, 5)

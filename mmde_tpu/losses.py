@@ -36,17 +36,24 @@ def silog_loss(pred: jnp.ndarray, target: jnp.ndarray, lambd: float = 0.5,
     return jnp.sqrt(jnp.maximum(mean_d2 - lambd * mean_d * mean_d, 0.0))
 
 
-def weighted_mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def weighted_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                      sample_weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """MSE between pred (B, K) and target reshaped to (B, K).
 
     Matches WeightedMSELoss (criterion.py:28-30): target.view(B, -1), mean
-    over all elements.
+    over all elements. `sample_weight` (B,) optionally masks samples whose
+    pose supervision is invalid (multi-dataset mixing: NYU pairs carry no
+    GT pose) — the mean is then over valid samples only.
     """
     B = pred.shape[0]
     t = target.reshape(B, -1)
     p = pred.reshape(B, -1)
     diff = p - t
-    return jnp.mean(diff * diff)
+    if sample_weight is None:
+        return jnp.mean(diff * diff)
+    w = sample_weight.reshape(B, 1).astype(diff.dtype)
+    denom = jnp.maximum(jnp.sum(w) * diff.shape[1], 1.0)
+    return jnp.sum(w * diff * diff) / denom
 
 
 def pose_losses(preds: dict, batch: dict, decoder: str = "decoder_v2"):
@@ -58,12 +65,13 @@ def pose_losses(preds: dict, batch: dict, decoder: str = "decoder_v2"):
       `faithful_v1_quirk`).
     decoder_v2: bidirectional means.
     """
-    loss_r12 = weighted_mse_loss(preds["pred_r12"], batch["R12"])
-    loss_t12 = weighted_mse_loss(preds["pred_t12"], batch["T12"])
+    w = batch.get("pose_valid")
+    loss_r12 = weighted_mse_loss(preds["pred_r12"], batch["R12"], w)
+    loss_t12 = weighted_mse_loss(preds["pred_t12"], batch["T12"], w)
     if decoder == "decoder_v1":
         return loss_r12, loss_t12
-    loss_r21 = weighted_mse_loss(preds["pred_r21"], batch["R21"])
-    loss_t21 = weighted_mse_loss(preds["pred_t21"], batch["T21"])
+    loss_r21 = weighted_mse_loss(preds["pred_r21"], batch["R21"], w)
+    loss_t21 = weighted_mse_loss(preds["pred_t21"], batch["T21"], w)
     return (loss_r12 + loss_r21) / 2.0, (loss_t12 + loss_t21) / 2.0
 
 

@@ -109,6 +109,38 @@ def window_reverse(windows: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray
     return x.reshape(B, H, W, C)
 
 
+def _toeplitz_axis(t: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(2W-1, ...) -> (W, W, ...) with out[i, j] = t[i - j + W - 1].
+
+    Built from flip + pad + tile + reshape + slice only — no gather. The
+    wrap positions of the tiled layout never land inside the sliced window
+    (index Wh-1-i+j stays within [0, 2W-2]), so the zero pad is never read.
+    """
+    ft = jnp.flip(t, axis=0)
+    x = jnp.concatenate([ft, jnp.zeros_like(ft[:1])], axis=0)      # (2W, ...)
+    flat = jnp.tile(x, (W,) + (1,) * (x.ndim - 1))                 # (W*2W, ..)
+    rows = flat[:W * (2 * W - 1)].reshape((W, 2 * W - 1) + x.shape[1:])
+    return rows[:, W - 1:2 * W - 1]
+
+
+def rpe_bias_from_table(table: jnp.ndarray, Wh: int, Ww: int) -> jnp.ndarray:
+    """Expand a ((2Wh-1)(2Ww-1), nH) relative-position table to the
+    (N, N, nH) per-token-pair bias via a 2-level block-Toeplitz construction.
+
+    Equivalent to table[relative_position_index] (the reference gathers,
+    swin_transformer_v2.py:307-309) but with zero gather ops — an 810k-row
+    gather (and scatter-add in the backward) per block is a TPU anti-pattern;
+    this version is reshapes and strided slices that XLA fuses away.
+    """
+    nH = table.shape[-1]
+    t2 = table.reshape(2 * Wh - 1, 2 * Ww - 1, nH)
+    ty = _toeplitz_axis(t2, Wh)                    # (Wh, Wh, 2Ww-1, nH)
+    ty = jnp.moveaxis(ty, 2, 0)                    # (2Ww-1, Wh, Wh, nH)
+    txy = _toeplitz_axis(ty, Ww)                   # (Ww, Ww, Wh, Wh, nH)
+    out = jnp.transpose(txy, (2, 0, 3, 1, 4))      # (Wh, Ww, Wh, Ww, nH)
+    return out.reshape(Wh * Ww, Wh * Ww, nH)
+
+
 def shifted_window_mask(Hp: int, Wp: int, ws: int, ss: int) -> np.ndarray:
     """Additive 0/-100 mask (nW, N, N) separating the 9 cyclic-shift regions
     (same partitioning as ref :873-892, built host-side)."""
@@ -209,8 +241,8 @@ class WindowAttention(nn.Module):
             table = nn.Dense(self.num_heads, use_bias=False, dtype=jnp.float32,
                              param_dtype=jnp.float32,
                              kernel_init=trunc_normal_init(), name="rpe_fc2")(h)
-        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
-        bias = table[idx].reshape(N, N, self.num_heads)
+        bias = rpe_bias_from_table(table, self.window_size[0],
+                                   self.window_size[1])
         bias = bias.transpose(2, 0, 1)                     # (nH, N, N)
         if self.rpe_output_type == "sigmoid":
             bias = 16.0 * jax.nn.sigmoid(bias)

@@ -48,8 +48,8 @@ def build_datasets(cfg: Config, synthetic: bool = False):
         return train, val
     if cfg.data.dataset == "void":
         from mmde_tpu.data.void_v3 import VoidV3
-        info_dir = os.path.join(os.path.dirname(__file__),
-                                "../data/void_meta")
+        info_dir = cfg.data.void_meta_dir or \
+            os.path.join(cfg.data.data_path, "meta")
         train = VoidV3(cfg.data.data_path,
                        os.path.join(info_dir, "train_image.txt"),
                        os.path.join(info_dir, "calibration.json"),

@@ -72,6 +72,22 @@ class TestRpeTable:
         assert (np.diag(idx) == idx[0, 0]).all()
 
 
+class TestToeplitzBias:
+    def test_matches_gather(self):
+        """The gather-free block-Toeplitz expansion must equal
+        table[relative_position_index] exactly."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        for Wh, Ww in [(3, 3), (4, 6), (5, 4)]:
+            T = (2 * Wh - 1) * (2 * Ww - 1)
+            table = rng.standard_normal((T, 3)).astype(np.float32)
+            idx = sw.relative_position_index((Wh, Ww)).reshape(-1)
+            expect = table[idx].reshape(Wh * Ww, Wh * Ww, 3)
+            ours = np.asarray(sw.rpe_bias_from_table(jnp.asarray(table),
+                                                     Wh, Ww))
+            np.testing.assert_array_equal(ours, expect)
+
+
 class TestCosineAttentionOracle:
     def test_matches_torch_formula(self):
         """Independent torch re-derivation of SwinV2 cosine attention
