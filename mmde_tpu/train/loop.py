@@ -73,6 +73,50 @@ def build_datasets(cfg: Config, synthetic: bool = False):
         val = NYUDepthV2Pairs(cfg.data.data_path, fn, False,
                               (cfg.data.crop_h, cfg.data.crop_w))
         return train, val
+    if cfg.data.dataset == "mixed":
+        # NYU + KITTI + VOID joint training (BASELINE config 5): every
+        # source whose directory exists under data_path joins the mix.
+        from mmde_tpu.data.mixed import MixedDataset, UnifiedTwoFrame
+        from mmde_tpu.data.datasets import (KITTIEigen, NYUDepthV2,
+                                            NYUDepthV2Pairs)
+        from mmde_tpu.data.void_v3 import VoidV3
+        crop = (cfg.data.crop_h, cfg.data.crop_w)
+        fn = os.path.join(cfg.data.data_path, "filenames")
+        meta = cfg.data.void_meta_dir or os.path.join(cfg.data.data_path,
+                                                      "meta")
+        train_sources, val_sources = [], []
+        if os.path.isdir(os.path.join(cfg.data.data_path, "nyu_depth_v2")):
+            train_sources.append(UnifiedTwoFrame(
+                NYUDepthV2Pairs(cfg.data.data_path, fn, True, crop),
+                "two_frame", crop, 0))
+            val_sources.append(UnifiedTwoFrame(
+                NYUDepthV2Pairs(cfg.data.data_path, fn, False, crop),
+                "two_frame", crop, 0))
+        if os.path.isdir(os.path.join(cfg.data.data_path, "kitti")):
+            train_sources.append(UnifiedTwoFrame(
+                KITTIEigen(cfg.data.data_path, fn, True, crop),
+                "single_frame", crop, 1))
+            val_sources.append(UnifiedTwoFrame(
+                KITTIEigen(cfg.data.data_path, fn, False, crop),
+                "single_frame", crop, 1))
+        if os.path.isdir(os.path.join(cfg.data.data_path, "void_release")):
+            train_sources.append(UnifiedTwoFrame(
+                VoidV3(cfg.data.data_path,
+                       os.path.join(meta, "train_image.txt"),
+                       os.path.join(meta, "calibration.json"), True, crop,
+                       cfg.data.image_interval_range, cfg.data.imu_max_len),
+                "two_frame_pose", crop, 2))
+            val_sources.append(UnifiedTwoFrame(
+                VoidV3(cfg.data.data_path,
+                       os.path.join(meta, "test_image.txt"),
+                       os.path.join(meta, "calibration.json"), False, crop,
+                       cfg.data.image_interval_range, cfg.data.imu_max_len),
+                "two_frame_pose", crop, 2))
+        if not train_sources:
+            raise FileNotFoundError(
+                f"no dataset roots found under {cfg.data.data_path}")
+        return (MixedDataset(train_sources, seed=cfg.train.seed),
+                MixedDataset(val_sources, seed=cfg.train.seed + 1))
     raise ValueError(f"unknown dataset '{cfg.data.dataset}'")
 
 
@@ -138,6 +182,11 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
                 if isinstance(v, np.ndarray)}
     params, batch_stats = init_model(model, jax.random.PRNGKey(cfg.train.seed),
                                      sample_j)
+    if cfg.model.swin.pretrained:
+        from mmde_tpu.ckpt.pretrained import load_pretrained
+        params, batch_stats = load_pretrained(
+            dict(params), dict(batch_stats), cfg.model,
+            cfg.model.swin.pretrained)
     tx, schedule = build_optimizer(
         params, backbone=cfg.model.backbone, depths=cfg.model.swin.depths,
         max_lr=cfg.train.max_lr, min_lr=cfg.train.min_lr,

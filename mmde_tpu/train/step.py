@@ -98,8 +98,14 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
 
 
 def make_eval_step(model, *, decoder: str, lambda_rot: float,
-                   lambda_trans: float, silog_lambda: float = 0.5, mesh=None):
-    """Jitted eval forward + losses. Returns (preds, loss aux)."""
+                   lambda_trans: float, silog_lambda: float = 0.5, mesh=None,
+                   flip_tta: bool = False):
+    """Jitted eval forward + losses. Returns (preds, loss aux).
+
+    flip_tta: horizontally mirror the frames, re-run, and average the
+    un-mirrored depth maps (reference test.py:104-110); pose predictions
+    come from the unflipped pass (mirroring changes the true pose).
+    """
 
     def eval_step(state: TrainState, batch):
         kwargs = {}
@@ -107,9 +113,17 @@ def make_eval_step(model, *, decoder: str, lambda_rot: float,
             kwargs = {"sparse1": batch["sparse_depth1"],
                       "sparse2": batch.get("sparse_depth2",
                                            batch["sparse_depth1"])}
-        out = model.apply({"params": state.params,
-                           "batch_stats": state.batch_stats},
-                          batch["image1"], batch["image2"], False, **kwargs)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch["image1"], batch["image2"], False,
+                          **kwargs)
+        if flip_tta:
+            fkwargs = {k: v[:, :, ::-1] for k, v in kwargs.items()}
+            fout = model.apply(variables, batch["image1"][:, :, ::-1],
+                               batch["image2"][:, :, ::-1], False, **fkwargs)
+            out = dict(out)
+            for k in ("pred_d1", "pred_d2"):
+                out[k] = 0.5 * (out[k] + fout[k][:, :, ::-1])
         _, aux = total_loss(out, batch, decoder=decoder,
                             lambda_rot=lambda_rot, lambda_trans=lambda_trans,
                             silog_lambda=silog_lambda)

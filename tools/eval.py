@@ -67,25 +67,13 @@ def main():
 
     eval_fn = make_eval_step(model, decoder=cfg.model.decoder,
                              lambda_rot=cfg.train.loss_lambda1,
-                             lambda_trans=cfg.train.loss_lambda2)
-
-    if args.flip_tta or args.shift_window_tta:
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-        @jax.jit
-        def fwd_single(frames):
-            half = frames.shape[0] // 2
-            out = model.apply(variables, frames[:half], frames[half:], False)
-            return jnp.concatenate([out["pred_d1"], out["pred_d2"]], axis=0)
-
-        def depth_forward(imgs):
-            # run both frames identically through the two-frame model
-            return fwd_single(jnp.concatenate([imgs, imgs], axis=0)
-                              )[:imgs.shape[0]]
-
-        print("TTA enabled:",
-              "flip" if args.flip_tta else "",
-              "shift-window" if args.shift_window_tta else "")
+                             lambda_trans=cfg.train.loss_lambda2,
+                             flip_tta=args.flip_tta)
+    if args.flip_tta:
+        print("TTA: horizontal-flip averaging enabled")
+    if args.shift_window_tta:
+        print("TTA: shift-window (use tools with the single-frame family "
+              "via mmde_tpu.train.single_frame.evaluate_single)")
 
     result, losses = validate(eval_fn, state, _limited(val_loader,
                                                        args.max_batches), cfg)
