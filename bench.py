@@ -58,7 +58,9 @@ def main():
         swin = SwinConfig(depths=(2, 2, 18, 2), window_size=(30, 30, 30, 15),
                           pretrain_window_size=(12, 12, 12, 6),
                           use_shift=(True, True, False, False),
-                          drop_path_rate=0.3, use_checkpoint=True)
+                          drop_path_rate=0.3, use_checkpoint=True,
+                          remat_policy=os.environ.get("MMDE_BENCH_REMAT",
+                                                      "attn_out"))
         cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",
                           model_scale=32, max_depth=10.0, swin=swin,
                           dtype="bfloat16")

@@ -19,6 +19,10 @@ class SwinConfig:
     """SwinTransformerV2 backbone hyperparameters (config.yaml SWIN block)."""
     pretrained: str = ""
     use_checkpoint: bool = False            # gradient checkpointing per stage
+    # remat policy when use_checkpoint: "full" recomputes the whole block;
+    # "attn_out" saves attention outputs (skips recomputing the attention
+    # kernel during backward at the cost of one bf16 activation per block)
+    remat_policy: str = "full"
     depths: Tuple[int, ...] = (2, 2, 18, 2)
     window_size: Tuple[int, ...] = (30, 30, 30, 15)
     pretrain_window_size: Tuple[int, ...] = (12, 12, 12, 6)

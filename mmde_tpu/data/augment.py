@@ -118,25 +118,32 @@ def to_float_chw_free(image):
 
 @dataclass
 class AugmentPolicy:
-    """Composable augmentation policy."""
+    """Composable augmentation policy.
+
+    Thread-safe: carries no mutable state. The v1 depth-strip trick fires on
+    every `depth_strip_every`-th sample index (pass `sample_index`), mirroring
+    the reference's per-worker counter (base_dataset.py:48) without shared
+    state across loader threads.
+    """
     crop_h: int
     crop_w: int
     mode: str = "v2"                # "v1" train | "v2" train | "eval"
     flip_p: float = 0.5
     depth_strip_every: int = 4      # v1 only; 0 disables
 
-    def __post_init__(self):
-        self._count = 0
-
-    def __call__(self, image, depth, rng: np.random.Generator):
+    def __call__(self, image, depth, rng: np.random.Generator,
+                 sample_index: Optional[int] = None):
         """image uint8 HWC RGB, depth float32 HW -> (float32 HWC, float32 HW)."""
         if self.mode == "eval":
             return to_float_chw_free(image), depth.astype(np.float32)
 
         if self.mode == "v1":
-            if self.depth_strip_every and self._count % self.depth_strip_every == 0:
-                image = depth_strip_paste(image, depth, rng)
-            self._count += 1
+            if self.depth_strip_every:
+                strip = (sample_index % self.depth_strip_every == 0
+                         if sample_index is not None
+                         else rng.random() < 1.0 / self.depth_strip_every)
+                if strip:
+                    image = depth_strip_paste(image, depth, rng)
             if rng.random() < self.flip_p:
                 image, depth = hflip(image, depth)
             image, depth = random_crop(image, depth, self.crop_h, self.crop_w,

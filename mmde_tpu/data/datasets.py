@@ -68,7 +68,7 @@ class NYUDepthV2:
         self.entries = read_pair_list(lst)
         self.policy = aug.AugmentPolicy(crop_size[0], crop_size[1],
                                         mode="v1" if is_train else "eval")
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __len__(self):
         return len(self.entries)
@@ -82,7 +82,8 @@ class NYUDepthV2:
         if self.scale_size:
             image = cv2.resize(image, (self.scale_size[0], self.scale_size[1]))
             depth = cv2.resize(depth, (self.scale_size[0], self.scale_size[1]))
-        image, depth = self.policy(image, depth, self.rng)
+        rng = np.random.default_rng((self._seed, idx))
+        image, depth = self.policy(image, depth, rng, idx)
         depth = depth / 1000.0
         filename = img_path.split("/")[-2] + "_" + img_path.split("/")[-1]
         return {"image": image, "depth": depth, "filename": filename}
@@ -100,9 +101,9 @@ class NYUDepthV2Pairs:
         self.root = os.path.join(data_path, "nyu_depth_v2")
         lst = os.path.join(filenames_path, "nyudepthv2", "train_list.txt")
         scenes = group_by_scene(read_pair_list(lst), is_train)
-        self.rng = np.random.default_rng(seed)
-        self.pairs: List[FramePair] = make_frame_pairs(scenes, is_train,
-                                                       self.rng)
+        self._seed = seed
+        self.pairs: List[FramePair] = make_frame_pairs(
+            scenes, is_train, np.random.default_rng(seed))
         self.policy = aug.AugmentPolicy(crop_size[0], crop_size[1],
                                         mode="v2" if is_train else "eval")
 
@@ -116,11 +117,12 @@ class NYUDepthV2Pairs:
         f2 = imread_rgb(self.root + p.frame2)
         d2 = imread_depth(self.root + p.gt2)
 
-        if self.is_train and self.rng.random() < 0.5:
+        rng = np.random.default_rng((self._seed, idx))
+        if self.is_train and rng.random() < 0.5:
             f1, d1 = aug.hflip(f1, d1)
             f2, d2 = aug.hflip(f2, d2)
-        f1, d1 = self.policy(f1, d1, self.rng)
-        f2, d2 = self.policy(f2, d2, self.rng)
+        f1, d1 = self.policy(f1, d1, rng, idx)
+        f2, d2 = self.policy(f2, d2, rng, idx)
         return {"image1": f1, "depth1": d1 / 1000.0, "filename1": p.frame1,
                 "image2": f2, "depth2": d2 / 1000.0, "filename2": p.frame2}
 
@@ -139,7 +141,7 @@ class KITTIEigen:
         self.entries = read_pair_list(lst)
         self.policy = aug.AugmentPolicy(crop_size[0], crop_size[1],
                                         mode="v1" if is_train else "eval")
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __len__(self):
         return len(self.entries)
@@ -153,7 +155,8 @@ class KITTIEigen:
         if self.scale_size:
             image = cv2.resize(image, (self.scale_size[0], self.scale_size[1]))
             depth = cv2.resize(depth, (self.scale_size[0], self.scale_size[1]))
-        image, depth = self.policy(image, depth, self.rng)
+        rng = np.random.default_rng((self._seed, idx))
+        image, depth = self.policy(image, depth, rng, idx)
         depth = depth / 256.0
         filename = (self.root + img_rel).split("/")[-4] + "_" + \
             img_rel.split("/")[-1]

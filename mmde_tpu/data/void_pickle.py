@@ -46,7 +46,7 @@ class VoidPickle:
         self.imu_max_len = imu_max_len
         self.policy = aug.AugmentPolicy(crop_size[0], crop_size[1],
                                         mode="v2" if is_train else "eval")
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __len__(self):
         return len(self.files)
@@ -57,8 +57,9 @@ class VoidPickle:
         img1, img2 = d["image1"], d["image2"]
         dep1 = d["depth1"].astype(np.float32) / 1000.0
         dep2 = d["depth2"].astype(np.float32) / 1000.0
-        img1, dep1 = self.policy(img1, dep1, self.rng)
-        img2, dep2 = self.policy(img2, dep2, self.rng)
+        rng = np.random.default_rng((self._seed, idx))
+        img1, dep1 = self.policy(img1, dep1, rng, idx)
+        img2, dep2 = self.policy(img2, dep2, rng, idx)
 
         R12 = np.asarray(d["R12"], np.float32).reshape(3, 3)
         T12 = np.asarray(d["T12"], np.float32).reshape(3)

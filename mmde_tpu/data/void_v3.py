@@ -193,17 +193,21 @@ class VoidV3:
             self.release_dir, list_file, self.interval[1])
         self.policy = aug.AugmentPolicy(crop_size[0], crop_size[1],
                                         mode="v2" if is_train else "eval")
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self._scenes: Dict[str, _SceneCache] = {}
+        self._scene_lock = __import__("threading").Lock()
 
     def __len__(self):
         return len(self.samples)
 
     def _scene(self, name: str) -> _SceneCache:
-        sc = self._scenes.get(name)
-        if sc is None:
-            sc = _SceneCache(self.release_dir, self.raw_dir, name, self.calib)
-            self._scenes[name] = sc
+        # loader threads share this dataset; build each scene cache once
+        with self._scene_lock:
+            sc = self._scenes.get(name)
+            if sc is None:
+                sc = _SceneCache(self.release_dir, self.raw_dir, name,
+                                 self.calib)
+                self._scenes[name] = sc
         return sc
 
     def _load_frame(self, sc: _SceneCache, order: int):
@@ -213,10 +217,12 @@ class VoidV3:
                 load_pose_txt(sc.poses[order]), sc.stamp(order))
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # per-sample RNG stream: thread-safe and reproducible
+        rng = np.random.default_rng((self.seed, idx))
         s = self.samples[idx]
         sc = self._scene(s.scene)
         o1 = s.order
-        o2 = o1 + int(self.rng.integers(self.interval[0], self.interval[1] + 1))
+        o2 = o1 + int(rng.integers(self.interval[0], self.interval[1] + 1))
 
         img1, dep1, img1_u, dep1_u, T01, t1 = self._load_frame(sc, o1)
         img2, dep2, img2_u, dep2_u, T02, t2 = self._load_frame(sc, o2)
@@ -251,8 +257,8 @@ class VoidV3:
         dep1, dep2 = dep1 / 1000.0, dep2 / 1000.0
         dep1_u, dep2_u = dep1_u / 1000.0, dep2_u / 1000.0
 
-        img1_u, dep1_u = self.policy(img1_u, dep1_u, self.rng)
-        img2_u, dep2_u = self.policy(img2_u, dep2_u, self.rng)
+        img1_u, dep1_u = self.policy(img1_u, dep1_u, rng, idx)
+        img2_u, dep2_u = self.policy(img2_u, dep2_u, rng, idx)
 
         f32 = lambda x: np.asarray(x, np.float32)
         return {

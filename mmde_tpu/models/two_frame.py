@@ -98,6 +98,7 @@ def _build_encoder(cfg: ModelConfig, dtype) -> nn.Module:
             use_shift=shift, out_indices=out_indices,
             drop_path_rate=s.drop_path_rate,
             use_checkpoint=s.use_checkpoint,
+            remat_policy=s.remat_policy,
             attn_impl="pallas" if cfg.use_pallas_attention else "xla",
             dtype=dtype, name="encoder")
     hidden = {"resnet50": 512, "50": 512,

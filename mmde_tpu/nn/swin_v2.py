@@ -307,6 +307,7 @@ class SwinBlock(nn.Module):
             fp32_out=self.mlpfp32, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn",
         )(windows, attn_mask)
+        attn = jax.ad_checkpoint.checkpoint_name(attn, "swin_attn_out")
         x = window_reverse(attn, ws, Hp, Wp)
 
         if ss > 0:
@@ -489,6 +490,7 @@ class BasicLayer(nn.Module):
     pretrain_window_size: int = -1
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -502,7 +504,13 @@ class BasicLayer(nn.Module):
 
         block_cls = SwinBlock
         if self.use_checkpoint:
-            block_cls = nn.remat(SwinBlock)
+            if self.remat_policy == "attn_out":
+                block_cls = nn.remat(
+                    SwinBlock,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "swin_attn_out"))
+            else:
+                block_cls = nn.remat(SwinBlock)
 
         for i in range(self.depth):
             shift = 0 if (i % 2 == 0 or not self.use_shift) else ss
@@ -552,6 +560,7 @@ class SwinTransformerV2(nn.Module):
     ape: bool = False
     patch_norm: bool = True
     use_checkpoint: Sequence[bool] | bool = False
+    remat_policy: str = "full"
     init_values: Optional[float] = 1e-5
     endnorm_interval: int = -1
     use_mlp_norm_layers: Sequence[int] = ()
@@ -630,6 +639,7 @@ class SwinTransformerV2(nn.Module):
                 qkv_bias=self.qkv_bias,
                 drop_path_rates=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
                 downsample=ds, use_checkpoint=use_ckpt[i],
+                remat_policy=self.remat_policy,
                 init_values=self.init_values,
                 endnorm_interval=self.endnorm_interval,
                 use_mlp_norm=(i in self.use_mlp_norm_layers),
