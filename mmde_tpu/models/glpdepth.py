@@ -130,12 +130,18 @@ class GLPDepthScale16(nn.Module):
             frame1 = fuse(frame1, sparse1)
             frame2 = fuse(frame2, sparse2 if sparse2 is not None else sparse1)
 
-        frames = jnp.concatenate([frame1, frame2], axis=0).astype(dtype)
+        # interleaved frame batching (see TwoFrameDepthPose): keeps each
+        # device's pair local under data-parallel sharding
+        B = frame1.shape[0]
+        frames = jnp.stack([frame1, frame2], axis=1).astype(dtype)
+        frames = frames.reshape((2 * B,) + frames.shape[2:])
         if isinstance(encoder, SwinTransformerV2):
             feats = encoder(frames, deterministic=not train)
         else:
             feats = encoder(frames, train=train)
-        f1, f2 = jnp.split(feats[-1], 2, axis=0)
+        f = feats[-1]
+        f = f.reshape((B, 2) + f.shape[1:])
+        f1, f2 = f[:, 0], f[:, 1]
         feats_cat = jnp.concatenate([f1, f2], axis=-1)
         C = feats_cat.shape[-1]
 

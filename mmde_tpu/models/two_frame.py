@@ -130,13 +130,20 @@ class TwoFrameDepthPose(nn.Module):
         plan = build_plan(self.cfg)
         encoder = _build_encoder(self.cfg, dtype)
 
-        frames = jnp.concatenate([frame1, frame2], axis=0).astype(dtype)
+        # Interleave the two frames on the batch axis ((B,2,...)->(2B,...))
+        # instead of concatenating: under data-parallel sharding each device
+        # keeps its own pair, so no all-to-all / collective-permute is needed
+        # (a batch-dim concat re-distributes halves across the mesh).
+        B = frame1.shape[0]
+        frames = jnp.stack([frame1, frame2], axis=1).astype(dtype)
+        frames = frames.reshape((2 * B,) + frames.shape[2:])
         if isinstance(encoder, SwinTransformerV2):
             feats = encoder(frames, deterministic=not train)
         else:
             feats = encoder(frames, train=train)
         f = feats[-1]
-        f1, f2 = jnp.split(f, 2, axis=0)
+        f = f.reshape((B, 2) + f.shape[1:])
+        f1, f2 = f[:, 0], f[:, 1]
 
         if self.cfg.decoder == "decoder_v1":
             decoder = DecoderV1(

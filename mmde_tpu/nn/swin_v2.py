@@ -112,15 +112,13 @@ def window_reverse(windows: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray
 def _toeplitz_axis(t: jnp.ndarray, W: int) -> jnp.ndarray:
     """(2W-1, ...) -> (W, W, ...) with out[i, j] = t[i - j + W - 1].
 
-    Built from flip + pad + tile + reshape + slice only — no gather. The
-    wrap positions of the tiled layout never land inside the sliced window
-    (index Wh-1-i+j stays within [0, 2W-2]), so the zero pad is never read.
+    Built from W static slices + one stack — no gather, and no flat
+    mega-dim reshape (GSPMD turns non-divisible reshapes of sharded
+    intermediates into all-to-alls, which deadlock the virtual CPU mesh).
     """
     ft = jnp.flip(t, axis=0)
-    x = jnp.concatenate([ft, jnp.zeros_like(ft[:1])], axis=0)      # (2W, ...)
-    flat = jnp.tile(x, (W,) + (1,) * (x.ndim - 1))                 # (W*2W, ..)
-    rows = flat[:W * (2 * W - 1)].reshape((W, 2 * W - 1) + x.shape[1:])
-    return rows[:, W - 1:2 * W - 1]
+    rows = [ft[W - 1 - i:2 * W - 1 - i] for i in range(W)]
+    return jnp.stack(rows, axis=0)
 
 
 def rpe_bias_from_table(table: jnp.ndarray, Wh: int, Ww: int) -> jnp.ndarray:
@@ -307,7 +305,8 @@ class SwinBlock(nn.Module):
             fp32_out=self.mlpfp32, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn",
         )(windows, attn_mask)
-        attn = jax.ad_checkpoint.checkpoint_name(attn, "swin_attn_out")
+        from jax.ad_checkpoint import checkpoint_name
+        attn = checkpoint_name(attn, "swin_attn_out")
         x = window_reverse(attn, ws, Hp, Wp)
 
         if ss > 0:

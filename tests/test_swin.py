@@ -155,6 +155,31 @@ class TestSwinBackbone:
         outs = m.apply(params, x, True)
         assert outs[0].shape == (1, 8, 12, 16)
 
+    def test_remat_policies_match_no_remat_grads(self):
+        """Gradients must be identical across remat settings (full /
+        attn_out-saving / none) — remat changes memory, not math."""
+        x = jnp.asarray(np.random.default_rng(7)
+                        .standard_normal((1, 16, 16, 3)).astype(np.float32))
+        kw = dict(embed_dim=16, depths=(2,), num_heads=(2,), window_size=(4,),
+                  pretrain_window_size=(4,), use_shift=(True,),
+                  out_indices=(0,), drop_path_rate=0.0)
+        grads = []
+        params = None
+        for ckpt, policy in [(False, "full"), (True, "full"),
+                             (True, "attn_out")]:
+            m = sw.SwinTransformerV2(use_checkpoint=ckpt,
+                                     remat_policy=policy, **kw)
+            if params is None:
+                params = m.init({"params": jax.random.PRNGKey(0)}, x, True)
+            g = jax.grad(lambda p, x_: jnp.sum(
+                m.apply(p, x_, True)[0] ** 2))(params, x)
+            grads.append(g)
+        for other in grads[1:]:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+                grads[0], other)
+
     def test_shift_changes_output(self):
         """With shift enabled, block 2 output differs from unshifted."""
         kw = dict(embed_dim=16, depths=(2,), num_heads=(2,), window_size=(4,),
