@@ -187,30 +187,50 @@ class WindowAttention(nn.Module):
             bias_vec = jnp.concatenate(
                 [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(qkv.dtype)
             qkv = qkv + bias_vec
-        qkv = qkv.reshape(B_, N, 3, nH, Dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]    # (B_, nH, N, Dh)
-
-        rpe_bias = self._rpe_bias(N)        # (nH, N, N) float32
-
         if self.attn_type == "cosine_mh":
             logit_scale = self.param(
                 "logit_scale",
                 lambda key, shape: jnp.full(shape, float(np.log(10.0))),
                 (nH, 1, 1))
-            if self.attn_impl == "pallas":
-                from mmde_tpu.ops.window_attention_pallas import \
-                    cosine_window_attention_pallas
-                out = cosine_window_attention_pallas(q, k, v, logit_scale,
-                                                     rpe_bias, mask)
-            else:
-                out = cosine_window_attention(q, k, v, logit_scale, rpe_bias,
-                                              mask)
-        elif self.attn_type == "normal":
-            out = scaled_window_attention(q, k, v, Dh ** -0.5, rpe_bias, mask)
         else:
-            raise NotImplementedError(self.attn_type)
+            logit_scale = None
 
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        from mmde_tpu.ops.window_attention_packed import (
+            attention_plan, cosine_window_attention_packed, pack_rpe_bias)
+        plan = (attention_plan(N, nH, Dh, C)
+                if (self.attn_impl == "pallas"
+                    and self.attn_type == "cosine_mh") else None)
+
+        if plan is not None:
+            # Packed path: qkv stays (B_, N, 3C) — no head-split transposes,
+            # dense 128-lane tiles end to end (see window_attention_packed).
+            _, Np, _, HG, nG, _ = plan
+            bias_packed = pack_rpe_bias(
+                rpe_bias_from_table(self._rpe_table(), *self.window_size),
+                nG, HG, Np)
+            out = cosine_window_attention_packed(
+                qkv, logit_scale, bias_packed, mask, num_heads=nH)
+        else:
+            x3 = qkv.reshape(B_, N, 3, nH, Dh).transpose(2, 0, 3, 1, 4)
+            q, k, v = x3[0], x3[1], x3[2]   # (B_, nH, N, Dh)
+            rpe_bias = rpe_bias_from_table(
+                self._rpe_table(), *self.window_size).transpose(2, 0, 1)
+
+            if self.attn_type == "cosine_mh":
+                if self.attn_impl == "pallas":
+                    from mmde_tpu.ops.window_attention_pallas import \
+                        cosine_window_attention_pallas
+                    out = cosine_window_attention_pallas(
+                        q, k, v, logit_scale, rpe_bias, mask)
+                else:
+                    out = cosine_window_attention(q, k, v, logit_scale,
+                                                  rpe_bias, mask)
+            elif self.attn_type == "normal":
+                out = scaled_window_attention(q, k, v, Dh ** -0.5, rpe_bias,
+                                              mask)
+            else:
+                raise NotImplementedError(self.attn_type)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         if self.fp32_out:
             out = nn.Dense(C, dtype=jnp.float32, param_dtype=jnp.float32,
                            kernel_init=trunc_normal_init(), name="proj")(
@@ -220,9 +240,12 @@ class WindowAttention(nn.Module):
                            kernel_init=trunc_normal_init(), name="proj")(out)
         return out
 
-    def _rpe_bias(self, N: int) -> jnp.ndarray:
-        """Continuous RPE: MLP(log-spaced coords) gathered per token pair.
-        Computed in fp32 (LinearFP32 tail in the reference, :185-187)."""
+    def _rpe_table(self) -> jnp.ndarray:
+        """Continuous RPE table: MLP(log-spaced coords), ((2Wh-1)(2Ww-1), nH)
+        fp32 (LinearFP32 tail in the reference, :185-187). The sigmoid*16
+        output transform is applied HERE, on the ~3.5k-row table, instead of
+        on the ~1M-entry expanded bias — exact, since an elementwise map
+        commutes with the (gather-equivalent) Toeplitz expansion."""
         if self.rpe_table_type == "none":
             table = self.param(
                 "relative_position_bias_table", trunc_normal_init(0.02),
@@ -239,12 +262,10 @@ class WindowAttention(nn.Module):
             table = nn.Dense(self.num_heads, use_bias=False, dtype=jnp.float32,
                              param_dtype=jnp.float32,
                              kernel_init=trunc_normal_init(), name="rpe_fc2")(h)
-        bias = rpe_bias_from_table(table, self.window_size[0],
-                                   self.window_size[1])
-        bias = bias.transpose(2, 0, 1)                     # (nH, N, N)
+        table = table.astype(jnp.float32)
         if self.rpe_output_type == "sigmoid":
-            bias = 16.0 * jax.nn.sigmoid(bias)
-        return bias.astype(jnp.float32)
+            table = 16.0 * jax.nn.sigmoid(table)
+        return table
 
 
 class SwinBlock(nn.Module):

@@ -1,0 +1,464 @@
+"""Packed-layout fused Pallas TPU kernel for SwinV2 cosine window attention.
+
+Second-generation kernel (see window_attention_pallas.py for the head-split
+v1). Motivation, from the measured step profile (docs/PERF.md): ~33% of the
+train step was window bookkeeping — the (B_, N, 3, nH, Dh) qkv transpose,
+the output (B_, nH, N, Dh) -> (B_, N, C) transpose, and the 4x HBM/VMEM
+lane-padding waste of Dh=32-minor layouts ((…, N, 32) arrays tile to
+(8, 128) lanes with 96 dead lanes).
+
+This kernel consumes the qkv projection EXACTLY as the Dense layer produces
+it — (B_, N, 3C), densely tiled — and writes attention output as (B_, N, C),
+so the only ops between two Dense layers are this kernel plus window
+partition/reverse.
+
+Layout rules (probed on TPU, tools/probe_mosaic.py): block last dims must be
+(8, 128)-divisible or full, so per-head 32-lane carving is illegal, but a
+HEAD GROUP of HG = 128 // Dh heads spans exactly 128 lanes and is a legal
+lane-carved block. Inside a cell we loop over the HG heads with STATIC
+32-lane slices (legal). Grid: (B_, nG, nQ) — iq innermost so the k/v window
+blocks stay resident across q tiles.
+
+Operands per cell (window b, head-group g, q-tile iq):
+  ls    (nH, 1)            SMEM, whole
+  qt    (1, BQ, CG)        qkv[b, iq*BQ:, g*CG : (g+1)*CG]        CG = 128
+  k     (1, Np, CG)        qkv[b, :, C + g*CG :]
+  v     (1, Np, CG)        qkv[b, :, 2C + g*CG :]
+  bias  (1, BQ, HG*Np)     packed (nG, Np, HG*Np), PRE-padded with -1e9
+  mask  (1, BQ, Np)        optional (nW, Np, Np), window = b % nW
+  out   (1, BQ, CG)
+
+The RPE bias is packed head-group-major by `pack_rpe_bias` and padded at
+construction time (no per-call pads); sigmoid*16 is applied on the small
+(T, nH) table before Toeplitz expansion (elementwise-before-gather is
+exact), not on the 13M-entry expanded bias.
+
+Backward: one fused kernel, same grid. dq written once per (b, iq, g);
+dk/dv accumulated across q tiles in the resident (1, Np, CG) output blocks
+(normalize-VJP applied on the last tile); d(logit_scale) accumulated in
+lane 0 of a never-flushed block. dbias is NOT accumulated in-kernel:
+compiled Mosaic only supports output accumulation across CONSECUTIVE grid
+steps (hardware-verified, tools/check_attention_grads_tpu.py — the revisit
+pattern silently corrupts), so each cell dumps its per-window ds tile
+(bf16, write-once) and the caller reduces dbias = sum over windows in XLA.
+All gradients leave the kernel in packed layout — the caller only
+concatenates [dq, dk, dv] to recover d(qkv).
+
+Models with C % 128 != 0 or 128 % Dh != 0 (e.g. swin_tiny stage 1, C=96)
+fall back to the v1 head-split kernel in the dispatcher.
+
+Reference behavior being matched: cosine attention with clamped learned
+log temperature, models/swin_transformer_v2.py:275-336 (reference repo).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmde_tpu.ops.window_attention import MAX_LOGIT_SCALE
+
+_NEG_INF = -1e9
+# Candidate q-tile row counts (all 8-divisible), large to small. Large tiles
+# amortize per-cell grid overhead and the per-cell k/v re-normalization; the
+# plan takes the largest that fits the VMEM budget with minimal padding.
+_BQ_CANDIDATES = (456, 384, 304, 232, 152, 120, 80, 48, 40)
+# Per-cell VMEM budgets (bytes). v5e VMEM is ~16 MB/core; the forward keeps
+# more headroom (its estimate is rougher); the backward runs closer to the
+# limit because small q tiles cost ~2x wall clock (measured).
+_VMEM_BUDGET_FWD = 10 * 1024 * 1024
+_VMEM_BUDGET_BWD = 14 * 1024 * 1024
+
+
+def _cell_vmem(bq: int, np_: int, hg: int, bwd: bool) -> int:
+    """Rough per-cell VMEM estimate: double-buffered bias blocks + fp32
+    logits temporaries + k/v window blocks + mask; bwd adds the bf16 ds-dump
+    block and fp32 dk/dv accumulators."""
+    bias = bq * hg * np_ * 4 * 2
+    logits = (3 if not bwd else 5) * bq * np_ * 4
+    kv = 2 * np_ * 128 * 2 * 2
+    mask = bq * np_ * 4 * 2
+    extra = 0
+    if bwd:
+        extra = bq * hg * np_ * 2 * 2       # ds dump block (bf16)
+        extra += 2 * np_ * 128 * 4 * 2      # dk/dv fp32 blocks
+    return bias + logits + kv + mask + extra
+
+
+def _largest_fitting_divisor(np_: int, hg: int, bwd: bool) -> int:
+    """Largest 8-multiple divisor of Np whose cell fits the VMEM budget."""
+    budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET_FWD
+    best = 8
+    for d in range(8, np_ + 1, 8):
+        if np_ % d == 0 and _cell_vmem(d, np_, hg, bwd) <= budget:
+            best = d
+    return best
+
+
+def attention_plan(n: int, num_heads: int, head_dim: int, channels: int):
+    """(BQ_fwd, Np, nQ_fwd, HG, nG, BQ_bwd) or None when the packed layout
+    is unusable (C not 128-divisible / Dh not dividing 128).
+
+    Np is shared between forward and backward (the packed bias is laid out
+    at Np); the backward gets its own, usually smaller, q tile because its
+    cells carry dbias/dk/dv blocks on top of the forward's working set.
+    Large tiles are preferred over minimal padding (up to 8% pad) — many
+    small cells cost more in grid sequencing and re-normalization than the
+    padded rows do.
+    """
+    if channels % 128 != 0 or 128 % head_dim != 0:
+        return None
+    hg = 128 // head_dim
+    if num_heads % hg != 0:
+        return None
+    ng = num_heads // hg
+
+    if n <= max(_BQ_CANDIDATES):
+        np_ = -(-n // 8) * 8
+        bq = np_ if _cell_vmem(np_, np_, hg, False) <= _VMEM_BUDGET_FWD else \
+            _largest_fitting_divisor(np_, hg, False)
+        return bq, np_, np_ // bq, hg, ng, \
+            _largest_fitting_divisor(np_, hg, True)
+
+    best = None          # (bq, np_, nq), preferring big tiles at pad <= 8%
+    fallback = None      # minimal padding, any fitting tile
+    for bq in _BQ_CANDIDATES:
+        nq = -(-n // bq)
+        np_ = nq * bq
+        if _cell_vmem(bq, np_, hg, False) > _VMEM_BUDGET_FWD:
+            continue
+        if best is None and np_ <= int(n * 1.08):
+            best = (bq, np_, nq)
+        if fallback is None or np_ < fallback[1] or (
+                np_ == fallback[1] and bq > fallback[0]):
+            fallback = (bq, np_, nq)
+    chosen = best or fallback
+    if chosen is None:
+        return None
+    bq, np_, nq = chosen
+    return bq, np_, nq, hg, ng, _largest_fitting_divisor(np_, hg, True)
+
+
+def pack_rpe_bias(bias_nnh: jnp.ndarray, ng: int, hg: int,
+                  np_pad: int) -> jnp.ndarray:
+    """(N, N, nH) bias -> (nG, Np, HG*Np) packed + key-padded with -1e9.
+
+    Padded key columns (and rows) carry -1e9 so padded tokens never win the
+    softmax; padded q rows are garbage that the caller slices off.
+    """
+    n = bias_nnh.shape[0]
+    b = bias_nnh.reshape(n, n, ng, hg)
+    b = b.transpose(2, 0, 3, 1)                      # (nG, N, HG, N)
+    pad = np_pad - n
+    if pad:
+        b = jnp.pad(b, ((0, 0), (0, pad), (0, 0), (0, pad)),
+                    constant_values=_NEG_INF)
+    return b.reshape(ng, np_pad, hg * np_pad)
+
+
+def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+              *, hg: int, dh: int, np_: int):
+    g = pl.program_id(1)
+    kbuf = k_ref[0]
+    vbuf = v_ref[0]
+    mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
+    for t in range(hg):
+        cs = t * dh
+        q = qt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+        k = kbuf[:, cs:cs + dh].astype(jnp.float32)
+        v = vbuf[:, cs:cs + dh].astype(jnp.float32)
+        qn = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
+        kn = k * jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+        ls = ls_ref[g * hg + t, 0]
+        scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
+        s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+            jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, -1, keepdims=True)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[0, :, cs:cs + dh] = (o / denom).astype(out_ref.dtype)
+
+
+def _pad_rows(x, np_, value=0.0):
+    n = x.shape[1]
+    if np_ == n:
+        return x
+    return jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)), constant_values=value)
+
+
+def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
+                    interpret):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    nH = num_heads
+    Dh = C // nH
+    BQ, Np, nQ, HG, nG, _ = attention_plan(N, nH, Dh, C)
+    CG = HG * Dh
+
+    ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
+    qkv = _pad_rows(qkv, Np)
+
+    ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qt_spec = pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g))
+    k_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, nG + g))
+    v_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, 2 * nG + g))
+    bias_spec = pl.BlockSpec((1, BQ, HG * Np), lambda b, g, iq: (g, iq, 0))
+    in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec]
+    args = [ls2, qkv, qkv, qkv, bias_packed]
+
+    if mask is not None:
+        nW = mask.shape[0]
+        if mask.shape[1] != Np:
+            mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
+                                  (0, Np - mask.shape[2])))
+        in_specs.append(pl.BlockSpec((1, BQ, Np),
+                                     lambda b, g, iq: (b % nW, iq, 0)))
+        args.append(mask)
+        body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np)
+    else:
+        def body(ls, qt, k, v, bias, out):
+            _fwd_body(ls, qt, k, v, bias, None, out, hg=HG, dh=Dh, np_=Np)
+
+    out = pl.pallas_call(
+        body,
+        grid=(B, nG, nQ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        if not interpret else None,
+    )(*args)
+    return out[:, :N] if Np != N else out
+
+
+def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
+              dq_ref, dk_ref, dv_ref, ds_ref, dls_ref,
+              *, hg: int, dh: int, np_: int):
+    """Backward cell. Correctness constraint (measured on hardware,
+    tools/check_attention_grads_tpu.py): compiled Mosaic only supports
+    output-block accumulation across CONSECUTIVE grid steps, so dk/dv
+    accumulate over iq (innermost) and dbias is NOT accumulated in-kernel —
+    each cell dumps its ds tile (write-once) and the caller reduces over
+    windows in XLA. The dls block's index never changes, so it is never
+    flushed and accumulates safely across all cells."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    iq = pl.program_id(2)
+    first_iq = iq == 0
+    last_iq = iq == pl.num_programs(2) - 1
+    first_cell = jnp.logical_and(
+        b == 0, jnp.logical_and(g == 0, first_iq))
+
+    @pl.when(first_cell)
+    def _():
+        dls_ref[:, :] = jnp.zeros(dls_ref.shape, jnp.float32)
+
+    kbuf = k_ref[0]
+    vbuf = v_ref[0]
+    mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    for t in range(hg):
+        cs = t * dh
+        q = qt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+        k = kbuf[:, cs:cs + dh].astype(jnp.float32)
+        v = vbuf[:, cs:cs + dh].astype(jnp.float32)
+        gr = gt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+
+        rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
+        rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+        qn = q * rq
+        kn = k * rk
+
+        ls = ls_ref[g * hg + t, 0]
+        scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
+        c = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = c * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+            jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, -1, keepdims=True)
+
+        dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+
+        dv_part = jax.lax.dot_general(p, gr, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+        @pl.when(first_iq)
+        def _():
+            dv_ref[0, :, cs:cs + dh] = dv_part
+
+        @pl.when(jnp.logical_not(first_iq))
+        def _():
+            dv_ref[0, :, cs:cs + dh] += dv_part
+
+        # per-window ds dump (bf16, write-once); dbias = sum_b outside
+        ds_ref[0, 0, :, t * np_:(t + 1) * np_] = ds.astype(ds_ref.dtype)
+
+        gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
+        dls_val = scale * jnp.sum(ds * c) * gate
+        dls_ref[pl.ds(g * hg + t, 1), :] += jnp.where(lane == 0, dls_val, 0.0)
+
+        dqn = scale * jax.lax.dot_general(ds, kn, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        dq = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
+        dq_ref[0, :, cs:cs + dh] = dq
+
+        dkn_part = scale * jax.lax.dot_general(
+            ds, qn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(first_iq)
+        def _():
+            dk_ref[0, :, cs:cs + dh] = dkn_part
+
+        @pl.when(jnp.logical_not(first_iq))
+        def _():
+            dk_ref[0, :, cs:cs + dh] += dkn_part
+
+        @pl.when(last_iq)
+        def _():
+            dkn = dk_ref[0, :, cs:cs + dh]
+            dk_ref[0, :, cs:cs + dh] = rk * (
+                dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True))
+
+
+def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
+                     interpret):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    nH = num_heads
+    Dh = C // nH
+    BQf, Np, _, HG, nG, BQ = attention_plan(N, nH, Dh, C)
+    nQ = Np // BQ
+    CG = HG * Dh
+
+    ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
+    qkv = _pad_rows(qkv, Np)
+    g_out = _pad_rows(g_out, Np)
+
+    ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qt_spec = pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g))
+    k_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, nG + g))
+    v_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, 2 * nG + g))
+    bias_spec = pl.BlockSpec((1, BQ, HG * Np), lambda b, g, iq: (g, iq, 0))
+    in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec]
+    args = [ls2, qkv, qkv, qkv, bias_packed]
+
+    if mask is not None:
+        nW = mask.shape[0]
+        if mask.shape[1] != Np:
+            mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
+                                  (0, Np - mask.shape[2])))
+        in_specs.append(pl.BlockSpec((1, BQ, Np),
+                                     lambda b, g, iq: (b % nW, iq, 0)))
+        args.append(mask)
+        body = functools.partial(_bwd_body, hg=HG, dh=Dh, np_=Np)
+    else:
+        def body(ls, qt, k, v, bias, gt, dq, dk, dv, ds, dls):
+            _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, ds, dls,
+                      hg=HG, dh=Dh, np_=Np)
+    in_specs.append(qt_spec)                # g tile
+    args.append(g_out)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),          # dq
+        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),          # dk
+        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),          # dv
+        # per-window ds tiles (write-once); reduced to dbias in XLA below.
+        # bf16: the window sum happens in fp32, only the per-window partials
+        # are rounded (~0.4% relative) — within gradient noise.
+        jax.ShapeDtypeStruct((B,) + bias_packed.shape, jnp.bfloat16),
+        jax.ShapeDtypeStruct((nH, 128), jnp.float32),           # dls
+    )
+    out_specs = (
+        pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g)),
+        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
+        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
+        pl.BlockSpec((1, 1, BQ, HG * Np), lambda b, g, iq: (b, g, iq, 0)),
+        pl.BlockSpec((nH, 128), lambda b, g, iq: (0, 0)),
+    )
+
+    dq, dk, dv, ds_all, dls = pl.pallas_call(
+        body,
+        grid=(B, nG, nQ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        if not interpret else None,
+    )(*args)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)[:, :N].astype(qkv.dtype)
+    dls_out = dls[:, 0].reshape(logit_scale.shape).astype(logit_scale.dtype)
+    dbias = jnp.sum(ds_all.astype(jnp.float32), axis=0)
+    return dqkv, dls_out, dbias.astype(bias_packed.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:                                   # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _packed_op(qkv, logit_scale, bias_packed, mask, num_heads, interpret):
+    return _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
+                           interpret)
+
+
+def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret):
+    out = _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
+                          interpret)
+    return out, (qkv, logit_scale, bias_packed, mask)
+
+
+def _packed_bwd(num_heads, interpret, res, g):
+    qkv, logit_scale, bias_packed, mask = res
+    dqkv, dls, dbias = _pallas_backward(qkv, logit_scale, bias_packed, mask,
+                                        g, num_heads, interpret)
+    return dqkv, dls, dbias, None
+
+
+_packed_op.defvjp(_packed_fwd, _packed_bwd)
+
+
+def cosine_window_attention_packed(qkv: jnp.ndarray,
+                                   logit_scale: jnp.ndarray,
+                                   bias_packed: jnp.ndarray,
+                                   mask: Optional[jnp.ndarray] = None,
+                                   *, num_heads: int,
+                                   interpret: Optional[bool] = None):
+    """Fused packed-layout cosine window attention.
+
+    qkv: (B_, N, 3C) as produced by the qkv Dense (+q/v bias); bias_packed:
+    (nG, Np, HG*Np) from `pack_rpe_bias`; returns (B_, N, C). Falls back to
+    interpret mode off-TPU so tests exercise the kernel logic on CPU.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _packed_op(qkv, logit_scale, bias_packed, mask, num_heads,
+                      interpret)

@@ -202,14 +202,12 @@ def _bwd_kernel(ls_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, g_ref,
     def _():
         dv_ref[0, 0] += dv_part
 
-    # dbias accumulation over windows
-    @pl.when(first_b)
-    def _():
-        dbias_ref[0] = ds
-
-    @pl.when(jnp.logical_not(first_b))
-    def _():
-        dbias_ref[0] += ds
+    # per-window ds dump (write-once block): compiled Mosaic does not
+    # support accumulating into an output block across NON-consecutive grid
+    # steps (the old dbias += across windows silently corrupted gradients on
+    # real TPU — tools/check_attention_grads_tpu.py); the caller reduces
+    # dbias = sum_b ds in XLA instead.
+    dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
 
     # d(logit_scale): a * sum(dS * C), gated by the clamp. TPU VMEM stores
     # must be vectors: accumulate the scalar into lane 0 of the head's row.
@@ -295,18 +293,19 @@ def _pallas_backward(q, k, v, logit_scale, bias, mask, g, interpret: bool):
         jax.ShapeDtypeStruct((B, nH, Np, Dh), jnp.float32),   # dq
         jax.ShapeDtypeStruct((B, nH, Np, Dh), jnp.float32),   # dk
         jax.ShapeDtypeStruct((B, nH, Np, Dh), jnp.float32),   # dv
-        jax.ShapeDtypeStruct((nH, Np, Np), jnp.float32),      # dbias
+        # per-window ds tiles (write-once); summed to dbias in XLA below
+        jax.ShapeDtypeStruct((B, nH, Np, Np), jnp.bfloat16),
         jax.ShapeDtypeStruct((nH, 128), jnp.float32),         # dls (col 0)
     )
     out_specs = (
         pl.BlockSpec((1, 1, BQ, Dh), lambda b, h, iq: (b, h, iq, 0)),
         pl.BlockSpec((1, 1, Np, Dh), lambda b, h, iq: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, Np, Dh), lambda b, h, iq: (b, h, 0, 0)),
-        pl.BlockSpec((1, BQ, Np), lambda b, h, iq: (h, iq, 0)),
+        pl.BlockSpec((1, 1, BQ, Np), lambda b, h, iq: (b, h, iq, 0)),
         pl.BlockSpec((nH, 128), lambda b, h, iq: (0, 0)),
     )
 
-    dq, dk, dv, dbias, dls = pl.pallas_call(
+    dq, dk, dv, ds_all, dls = pl.pallas_call(
         kernel,
         grid=(B, nH, nQ),
         in_specs=in_specs,
@@ -321,7 +320,7 @@ def _pallas_backward(q, k, v, logit_scale, bias, mask, g, interpret: bool):
     dq = dq[:, :, :N].astype(in_dtype)
     dk = dk[:, :, :N].astype(in_dtype)
     dv = dv[:, :, :N].astype(in_dtype)
-    dbias = dbias[:, :N, :N].astype(jnp.float32)
+    dbias = jnp.sum(ds_all.astype(jnp.float32), axis=0)[:, :N, :N]
     dls = dls[:, 0].reshape(logit_scale.shape).astype(logit_scale.dtype)
     return dq, dk, dv, dls, dbias
 
