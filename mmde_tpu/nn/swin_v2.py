@@ -204,6 +204,8 @@ class WindowAttention(nn.Module):
         if plan is not None:
             # Packed path: qkv stays (B_, N, 3C) — no head-split transposes,
             # dense 128-lane tiles end to end (see window_attention_packed).
+            from jax.ad_checkpoint import checkpoint_name
+            qkv = checkpoint_name(qkv, "swin_qkv")
             _, Np, _, HG, nG, _ = plan
             bias_packed = pack_rpe_bias(
                 rpe_bias_from_table(self._rpe_table(), *self.window_size),
@@ -529,6 +531,14 @@ class BasicLayer(nn.Module):
                     SwinBlock,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "swin_attn_out"))
+            elif self.remat_policy == "attn_qkv":
+                # also saves the qkv projection: the attention custom-VJP's
+                # residual, so the backward skips the qkv Dense + window
+                # partition recompute at ~45 MB/block (bf16 swin-base s3)
+                block_cls = nn.remat(
+                    SwinBlock,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "swin_attn_out", "swin_qkv"))
             else:
                 block_cls = nn.remat(SwinBlock)
 

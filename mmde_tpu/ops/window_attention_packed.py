@@ -68,11 +68,13 @@ _NEG_INF = -1e9
 # amortize per-cell grid overhead and the per-cell k/v re-normalization; the
 # plan takes the largest that fits the VMEM budget with minimal padding.
 _BQ_CANDIDATES = (456, 384, 304, 232, 152, 120, 80, 48, 40)
-# Per-cell VMEM budgets (bytes). v5e VMEM is ~16 MB/core; the forward keeps
-# more headroom (its estimate is rougher); the backward runs closer to the
-# limit because small q tiles cost ~2x wall clock (measured).
-_VMEM_BUDGET_FWD = 10 * 1024 * 1024
-_VMEM_BUDGET_BWD = 14 * 1024 * 1024
+# Per-cell VMEM budgets (bytes). Tuned by on-hardware sweep (v5e): BQ=304
+# tiles (these budgets) beat BQ=152 by ~25% on the backward and ~10% on the
+# forward at w30 stages; larger tiles were noise-prone or mixed. The
+# compiler's default vmem cap is raised via vmem_limit_bytes below — the
+# hardware has more VMEM than the conservative default allows.
+_VMEM_BUDGET_FWD = 16 * 1024 * 1024
+_VMEM_BUDGET_BWD = 24 * 1024 * 1024
 
 
 def _cell_vmem(bq: int, np_: int, hg: int, bwd: bool) -> int:
