@@ -41,7 +41,7 @@ def main():
     from mmde_tpu.train.step import TrainState, init_model, make_train_step
 
     small = os.environ.get("MMDE_BENCH_SMALL") == "1"
-    batch_size = int(os.environ.get("MMDE_BENCH_BATCH", "4"))
+    batch_size = int(os.environ.get("MMDE_BENCH_BATCH", "8"))
     steps = int(os.environ.get("MMDE_BENCH_STEPS", "8"))
 
     if small:
