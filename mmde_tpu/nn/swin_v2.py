@@ -175,7 +175,15 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
-        B_, N, C = x.shape
+        # rank-3 (B*nW, N, C): windowed input (xla / packed / v1 paths);
+        # rank-4 (B, Hp, Wp, C): map input for the v3 slab kernel — the
+        # qkv/proj Dense layers are pointwise over C so they run on either.
+        slab_mode = x.ndim == 4
+        if slab_mode:
+            _, Hp, Wp, C = x.shape
+            N = self.window_size[0] * self.window_size[1]
+        else:
+            B_, N, C = x.shape
         nH = self.num_heads
         Dh = C // nH
 
@@ -198,10 +206,26 @@ class WindowAttention(nn.Module):
         from mmde_tpu.ops.window_attention_packed import (
             attention_plan, cosine_window_attention_packed, pack_rpe_bias)
         plan = (attention_plan(N, nH, Dh, C)
-                if (self.attn_impl == "pallas"
+                if (self.attn_impl == "pallas" and not slab_mode
                     and self.attn_type == "cosine_mh") else None)
 
-        if plan is not None:
+        if slab_mode:
+            # v3 slab path: window tiles are read straight off the map in
+            # the kernel; no window_partition/reverse anywhere.
+            from jax.ad_checkpoint import checkpoint_name
+            from mmde_tpu.ops.window_attention_slab import (
+                cosine_window_attention_slab, pack_rpe_bias_slab, slab_plan)
+            hg_ng = slab_plan(self.window_size[0], Wp, nH, Dh, C)
+            assert hg_ng is not None, "caller must check slab_plan"
+            HG, nG = hg_ng
+            qkv = checkpoint_name(qkv, "swin_qkv")
+            bias_packed = pack_rpe_bias_slab(
+                rpe_bias_from_table(self._rpe_table(), *self.window_size),
+                nG, HG)
+            out = cosine_window_attention_slab(
+                qkv, logit_scale, bias_packed, mask, num_heads=nH,
+                window_size=self.window_size[0])
+        elif plan is not None:
             # Packed path: qkv stays (B_, N, 3C) — no head-split transposes,
             # dense 128-lane tiles end to end (see window_attention_packed).
             from jax.ad_checkpoint import checkpoint_name
@@ -317,8 +341,21 @@ class SwinBlock(nn.Module):
         else:
             attn_mask = None
 
-        windows = window_partition(x, ws)                  # (B*nW, ws*ws, C)
-        attn = WindowAttention(
+        # v3 slab kernel: OPT-IN only. Measured on v5e (docs/PERF.md): the
+        # map-layout kernel loses ~2x to the packed kernel at swin-base
+        # stage shapes — Mosaic's lowering of non-8-aligned static window
+        # slices + in-kernel (ws, ws, C)->(N, C) reshapes is far more
+        # expensive than XLA's partition/reverse transposes it replaces —
+        # and its per-stage compile runs into many minutes. Kept for
+        # experimentation on future toolchains.
+        import os
+        from mmde_tpu.ops.window_attention_slab import slab_plan
+        use_slab = (self.attn_impl == "pallas"
+                    and self.attn_type == "cosine_mh"
+                    and os.environ.get("MMDE_SLAB") == "1"
+                    and slab_plan(ws, Wp, self.num_heads,
+                                  C // self.num_heads, C) is not None)
+        attn_mod = WindowAttention(
             dim=C, window_size=(ws, ws), num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, attn_type=self.attn_type,
             rpe_table_type=self.rpe_table_type,
@@ -327,10 +364,18 @@ class SwinBlock(nn.Module):
             pretrain_window_size=self.pretrain_window_size,
             fp32_out=self.mlpfp32, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn",
-        )(windows, attn_mask)
+        )
         from jax.ad_checkpoint import checkpoint_name
-        attn = checkpoint_name(attn, "swin_attn_out")
-        x = window_reverse(attn, ws, Hp, Wp)
+        if use_slab:
+            # v3: attention consumes/produces the (B, Hp, Wp, C) map —
+            # no window_partition/window_reverse copies at all
+            x = attn_mod(x, attn_mask)
+            x = checkpoint_name(x, "swin_attn_out")
+        else:
+            windows = window_partition(x, ws)              # (B*nW, ws*ws, C)
+            attn = attn_mod(windows, attn_mask)
+            attn = checkpoint_name(attn, "swin_attn_out")
+            x = window_reverse(attn, ws, Hp, Wp)
 
         if ss > 0:
             x = jnp.roll(x, (ss, ss), axis=(1, 2))

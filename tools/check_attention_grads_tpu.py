@@ -47,8 +47,12 @@ from mmde_tpu.ops.window_attention import cosine_window_attention
 from mmde_tpu.ops.window_attention_pallas import cosine_window_attention_pallas
 from mmde_tpu.ops.window_attention_packed import (
     attention_plan, cosine_window_attention_packed, pack_rpe_bias)
+from mmde_tpu.ops.window_attention_slab import (
+    cosine_window_attention_slab, pack_rpe_bias_slab, slab_plan)
 
 GT_PATH = "/tmp/mmde_gt.npz"
+# (name, B_windows, nH, N, C, nW). For the slab impl the windows are laid
+# out as a (B, ws, nW*ws, C) map (one row of nW windows per image).
 CASES = [
     ("small_nomask_B1", 1, 4, 49, 128, 0),
     ("small_mask_B4", 4, 4, 49, 128, 2),
@@ -94,7 +98,30 @@ def lossmakers(B, nH, N, C, mask):
         out = cosine_window_attention_packed(q, l, bp, mask, num_heads=nH)
         return jnp.sum(jnp.tanh(out))
 
-    return {"xla": lx, "v1": lv1, "packed": lpk}
+    ws = int(round(N ** 0.5))
+    fns = {"xla": lx, "v1": lv1, "packed": lpk}
+    if ws * ws == N:
+        hg_ng = slab_plan(ws, ws, nH, Dh, C)
+        if hg_ng is not None:
+            HGs, nGs = hg_ng
+
+            def lslab(q, l, b):
+                # lay the B windows side by side in ONE map row
+                # (1, ws, B*ws, 3C): exercises multi-window slab addressing
+                # and the cross-window dbias accumulation on hardware.
+                # Windows are independent without a mask, so this equals
+                # the windowed reference exactly (mask cases are skipped:
+                # their mask indexing differs between layouts).
+                qmap = q.reshape(B, ws, ws, 3 * C).transpose(1, 0, 2, 3)
+                qmap = qmap.reshape(1, ws, B * ws, 3 * C)
+                bp = pack_rpe_bias_slab(b, nGs, HGs)
+                out = cosine_window_attention_slab(
+                    qmap, l, bp, None, num_heads=nH, window_size=ws)
+                out = out.reshape(ws, B, ws, C).transpose(1, 0, 2, 3)
+                return jnp.sum(jnp.tanh(out))
+            if mask is None:
+                fns["slab"] = lslab
+    return fns
 
 
 def main():
@@ -120,7 +147,7 @@ def main():
         qkv, ls, bias, mask = make(B, nH, N, C, nW)
         fns = lossmakers(B, nH, N, C, mask)
         rels = {}
-        for lbl in ["xla", "v1", "packed"]:
+        for lbl in fns:
             g = jax.jit(jax.grad(fns[lbl], argnums=(0, 1, 2)))(qkv, ls, bias)
             rels[lbl] = []
             for gn, v in zip(GRAD_NAMES, g):
@@ -128,7 +155,7 @@ def main():
                 b = np.asarray(gt[f"{name}:{gn}"], np.float64)
                 rels[lbl].append(np.linalg.norm(a - b) /
                                  (np.linalg.norm(b) + 1e-12))
-        for lbl in ["v1", "packed"]:
+        for lbl in [k for k in rels if k != "xla"]:
             msgs = []
             for i, gn in enumerate(GRAD_NAMES):
                 r, rx = rels[lbl][i], rels["xla"][i]
