@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Release gate for mmde_tpu: run before shipping kernel or training-path
+# changes. Covers the failure class that CPU tests cannot see (compiled
+# Mosaic semantics differ from interpret mode — docs/PERF.md).
+#
+# Usage: bash tools/release_check.sh [--skip-tpu]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 unit + parity test suite (CPU, interpret-mode kernels) =="
+python -m pytest tests/ -q
+
+echo "== 2/4 hardware gradient audit: CPU fp32 ground truth =="
+python tools/check_attention_grads_tpu.py cpu
+
+if [[ "${1:-}" != "--skip-tpu" ]]; then
+  echo "== 3/4 hardware gradient audit: compiled kernels vs ground truth =="
+  python tools/check_attention_grads_tpu.py tpu
+
+  echo "== 4/4 flagship throughput benchmark =="
+  python bench.py
+else
+  echo "== 3-4/4 skipped (--skip-tpu) =="
+fi
+
+echo "release check passed"
