@@ -307,11 +307,13 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
 
         @pl.when(first_iq)
         def _():
-            dv_ref[0, :, cs:cs + dh] = dv_part
+            dv_ref[0, :, cs:cs + dh] = dv_part.astype(dv_ref.dtype)
 
         @pl.when(jnp.logical_not(first_iq))
         def _():
-            dv_ref[0, :, cs:cs + dh] += dv_part
+            dv_ref[0, :, cs:cs + dh] = (
+                dv_ref[0, :, cs:cs + dh].astype(jnp.float32)
+                + dv_part).astype(dv_ref.dtype)
 
         # per-window ds dump (bf16, write-once); dbias = sum_b outside
         ds_ref[0, 0, :, t * np_:(t + 1) * np_] = ds.astype(ds_ref.dtype)
@@ -323,7 +325,7 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
         dqn = scale * jax.lax.dot_general(ds, kn, (((1,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
         dq = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
-        dq_ref[0, :, cs:cs + dh] = dq
+        dq_ref[0, :, cs:cs + dh] = dq.astype(dq_ref.dtype)
 
         dkn_part = scale * jax.lax.dot_general(
             ds, qn, (((0,), (0,)), ((), ())),
@@ -331,17 +333,20 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
 
         @pl.when(first_iq)
         def _():
-            dk_ref[0, :, cs:cs + dh] = dkn_part
+            dk_ref[0, :, cs:cs + dh] = dkn_part.astype(dk_ref.dtype)
 
         @pl.when(jnp.logical_not(first_iq))
         def _():
-            dk_ref[0, :, cs:cs + dh] += dkn_part
+            dk_ref[0, :, cs:cs + dh] = (
+                dk_ref[0, :, cs:cs + dh].astype(jnp.float32)
+                + dkn_part).astype(dk_ref.dtype)
 
         @pl.when(last_iq)
         def _():
-            dkn = dk_ref[0, :, cs:cs + dh]
-            dk_ref[0, :, cs:cs + dh] = rk * (
+            dkn = dk_ref[0, :, cs:cs + dh].astype(jnp.float32)
+            dk_ref[0, :, cs:cs + dh] = (rk * (
                 dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True))
+            ).astype(dk_ref.dtype)
 
 
 def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
@@ -382,10 +387,16 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
     in_specs.append(qt_spec)                # g tile
     args.append(g_out)
 
+    # dq/dk/dv leave the kernel in the input dtype: for bf16 models this
+    # halves the gradient-output traffic and kills the downstream cast.
+    # dk/dv accumulate across the nQ q-tiles inside the output buffer, so
+    # bf16 adds ~0.4%*sqrt(nQ) relative rounding — bf16-training noise
+    # (fp32 models keep exact fp32 accumulation; tests run fp32).
+    gdt = qkv.dtype
     out_shapes = (
-        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),          # dq
-        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),          # dk
-        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),          # dv
+        jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dq
+        jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dk
+        jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dv
         # per-window ds tiles (write-once); reduced to dbias in XLA below.
         # bf16: the window sum happens in fp32, only the per-window partials
         # are rounded (~0.4% relative) — within gradient noise.
@@ -413,7 +424,7 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         if not interpret else None,
     )(*args)
 
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)[:, :N].astype(qkv.dtype)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)[:, :N]
     dls_out = dls[:, 0].reshape(logit_scale.shape).astype(logit_scale.dtype)
     dbias = jnp.sum(ds_all.astype(jnp.float32), axis=0)
     return dqkv, dls_out, dbias.astype(bias_packed.dtype)
