@@ -19,9 +19,12 @@ Dtype = Any
 class LayerNormFP32(nn.Module):
     """LayerNorm computed in float32, result cast back to the input dtype.
 
-    Matches LayerNormFP32 (swin_transformer_v2.py:41-47).
+    Matches LayerNormFP32 (swin_transformer_v2.py:41-47). The reference
+    builds every backbone norm with eps=1e-6 (swin_transformer_v2.py:1038),
+    hence the non-torch-default epsilon — with the low-variance activations
+    of trunc-normal init, a 1e-5 eps shifts outputs by ~1e-3.
     """
-    epsilon: float = 1e-5
+    epsilon: float = 1e-6
     use_scale: bool = True
     use_bias: bool = True
 

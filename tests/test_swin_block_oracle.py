@@ -39,7 +39,7 @@ def torch_swin_block(x_np, p, *, ws, nH, shift, Wh_pre, mask_np=None):
     def layer_norm(y, name):
         return torch.nn.functional.layer_norm(
             y, (C,), tp[f"{name}/LayerNorm_0/scale"],
-            tp[f"{name}/LayerNorm_0/bias"], eps=1e-5)
+            tp[f"{name}/LayerNorm_0/bias"], eps=1e-6)  # ref :1038 partial
 
     shortcut = x
     s = x
