@@ -27,7 +27,7 @@ from mmde_tpu.train.step import (TrainState, init_model, make_eval_step,
                                  make_train_step)
 from mmde_tpu.parallel.mesh import make_mesh, replicated_sharding
 from mmde_tpu.data.loader import DataLoader, device_prefetch
-from mmde_tpu.utils.logging import (AverageMeter, ScalarWriter, StepTimer,
+from mmde_tpu.utils.logging import (AverageMeter, ScalarWriter,
                                     display_result, log_args_to_txt)
 from mmde_tpu.ckpt import orbax_io
 
@@ -191,7 +191,8 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
         params, backbone=cfg.model.backbone, depths=cfg.model.swin.depths,
         max_lr=cfg.train.max_lr, min_lr=cfg.train.min_lr,
         weight_decay=cfg.train.weight_decay, layer_decay=cfg.train.layer_decay,
-        steps_per_epoch=steps_per_epoch, epochs=cfg.train.epochs)
+        steps_per_epoch=steps_per_epoch, epochs=cfg.train.epochs,
+        frozen_stages=cfg.model.swin.frozen_stages)
     state = TrainState.create(params, batch_stats, tx,
                               jax.random.PRNGKey(cfg.train.seed + 1))
 
@@ -224,13 +225,34 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
         print(f"resumed from epoch {resumed} ({cfg.train.resume_from})")
 
     best = orbax_io.BestTracker(ckpt_dir)
-    timer = StepTimer()
     last_val = {}
     epoch_losses = []
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         meters = {k: AverageMeter() for k in
                   ("loss_total", "loss_depth", "loss_rotation",
                    "loss_translation")}
+        # Aux scalars stay on device between print points: fetching them
+        # every step forces a host<->device sync per step and defeats the
+        # prefetch pipeline (the pattern bench.py avoids). pending holds
+        # device-side aux dicts; drain() fetches them in one transfer.
+        pending = []
+        drain_t0 = None
+        rate = 0.0
+
+        def drain():
+            nonlocal drain_t0, rate
+            if not pending:
+                return
+            vals = jax.device_get(pending)  # one sync for all queued steps
+            now = time.perf_counter()
+            for a in vals:
+                for k in meters:
+                    meters[k].update(float(a[k]), cfg.train.batch_size)
+            if drain_t0 is not None and now > drain_t0:
+                rate = cfg.train.batch_size * len(vals) / (now - drain_t0)
+            drain_t0 = now
+            pending.clear()
+
         for i, batch in enumerate(
                 device_prefetch(iter(train_loader), mesh=mesh)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
@@ -238,10 +260,9 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
             arrays = {k: v for k, v in batch.items()
                       if not isinstance(v, list)}
             state, aux = step_fn(state, arrays)
-            timer.tick()
-            for k in meters:
-                meters[k].update(float(aux[k]), cfg.train.batch_size)
+            pending.append(aux)
             if i % cfg.train.print_freq == 0:
+                drain()
                 lr = float(schedule(int(state.step) - 1))
                 line = (f"Epoch [{epoch}/{cfg.train.epochs}] step {i} "
                         f"loss {meters['loss_total'].avg:.4f} "
@@ -249,10 +270,11 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
                         f"R {meters['loss_rotation'].avg:.4f} "
                         f"T {meters['loss_translation'].avg:.4f}) "
                         f"lr {lr:.2e} "
-                        f"{timer.rate(cfg.train.batch_size):.1f} img/s")
+                        f"{rate:.1f} img/s")
                 print(line)
                 with open(log_txt, "a") as f:
                     f.write(line + "\n")
+        drain()
 
         for k, m in meters.items():
             writer.add_scalar(f"train/{k}", m.avg, epoch)
