@@ -30,6 +30,11 @@ class SwinConfig:
     shift_window_test: bool = False
     shift_size: int = 2
     drop_path_rate: float = 0.3
+    # Stages to freeze (reference swin_transformer_v2.py:1201-1216):
+    # >=0 freezes patch_embed, >=1 the absolute pos embed, >=i+2 stage i.
+    # Gradients are stopped in the module AND the optimizer zeroes both the
+    # Adam update and the weight decay for the frozen subtrees.
+    frozen_stages: int = -1
 
 
 @dataclass(frozen=True)
@@ -55,6 +60,10 @@ class ModelConfig:
     # numerics
     dtype: str = "float32"                  # activation dtype: float32|bfloat16
     use_pallas_attention: bool = True       # fused window attention on TPU
+    # Attention kernel override: "" derives from use_pallas_attention
+    # ("pallas"/"xla"); "pallas_slab" opts into the v3 map-layout kernel
+    # (2x slower on current Mosaic — docs/PERF.md; kept for experiments).
+    attn_impl: str = ""
 
 
 @dataclass(frozen=True)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from mmde_tpu.config import ModelConfig
-from mmde_tpu.models.two_frame import SWIN_VARIANTS, _build_encoder
+from mmde_tpu.models.two_frame import (SWIN_VARIANTS, _build_encoder,
+                                        resolve_attn_impl)
 from mmde_tpu.nn.swin_v2 import SwinTransformerV2
 from mmde_tpu.nn.decoders import _bn, Regression, _conv_init
 
@@ -68,7 +69,7 @@ class GLPDepth(nn.Module):
             pretrain_window_size=tuple(s.pretrain_window_size),
             use_shift=tuple(s.use_shift), out_indices=(len(s.depths) - 1,),
             drop_path_rate=s.drop_path_rate, use_checkpoint=s.use_checkpoint,
-            attn_impl="pallas" if self.cfg.use_pallas_attention else "xla",
+            attn_impl=resolve_attn_impl(self.cfg),
             dtype=dtype, name="encoder")
         feats = encoder(image.astype(dtype), deterministic=not train)
 
@@ -111,7 +112,7 @@ class GLPDepthScale16(nn.Module):
                 out_indices=(len(depths) - 1,),
                 drop_path_rate=s.drop_path_rate,
                 use_checkpoint=s.use_checkpoint,
-                attn_impl="pallas" if self.cfg.use_pallas_attention else "xla",
+                attn_impl=resolve_attn_impl(self.cfg),
                 dtype=dtype, name="encoder")
         else:
             embed_dim = 128

@@ -74,6 +74,17 @@ def build_plan(cfg: ModelConfig) -> BuildPlan:
     raise ValueError(f"backbone '{b}' is not registered")
 
 
+def resolve_attn_impl(cfg: ModelConfig) -> str:
+    """Attention kernel selection, resolved once at model build (not at
+    trace time): explicit cfg.attn_impl wins; otherwise derived from
+    use_pallas_attention."""
+    if cfg.attn_impl:
+        if cfg.attn_impl not in ("xla", "pallas", "pallas_slab"):
+            raise ValueError(f"unknown attn_impl '{cfg.attn_impl}'")
+        return cfg.attn_impl
+    return "pallas" if cfg.use_pallas_attention else "xla"
+
+
 def _build_encoder(cfg: ModelConfig, dtype) -> nn.Module:
     b = cfg.backbone
     if "swin" in b:
@@ -99,7 +110,8 @@ def _build_encoder(cfg: ModelConfig, dtype) -> nn.Module:
             drop_path_rate=s.drop_path_rate,
             use_checkpoint=s.use_checkpoint,
             remat_policy=s.remat_policy,
-            attn_impl="pallas" if cfg.use_pallas_attention else "xla",
+            frozen_stages=s.frozen_stages,
+            attn_impl=resolve_attn_impl(cfg),
             dtype=dtype, name="encoder")
     hidden = {"resnet50": 512, "50": 512,
               "resnet18": 256, "18": 256}[cfg.cnn.cnn_model]

@@ -170,7 +170,7 @@ class WindowAttention(nn.Module):
     rpe_output_type: str = "sigmoid"        # "sigmoid" (x16) | "normal"
     pretrain_window_size: int = -1
     fp32_out: bool = False                  # mlpfp32 projection
-    attn_impl: str = "xla"                  # "xla" | "pallas"
+    attn_impl: str = "xla"                  # "xla" | "pallas" | "pallas_slab"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -206,7 +206,8 @@ class WindowAttention(nn.Module):
         from mmde_tpu.ops.window_attention_packed import (
             attention_plan, cosine_window_attention_packed, pack_rpe_bias)
         plan = (attention_plan(N, nH, Dh, C)
-                if (self.attn_impl == "pallas" and not slab_mode
+                if (self.attn_impl in ("pallas", "pallas_slab")
+                    and not slab_mode
                     and self.attn_type == "cosine_mh") else None)
 
         if slab_mode:
@@ -251,7 +252,7 @@ class WindowAttention(nn.Module):
                 self._rpe_table(), *self.window_size).transpose(2, 0, 1)
 
             if self.attn_type == "cosine_mh":
-                if self.attn_impl == "pallas":
+                if self.attn_impl in ("pallas", "pallas_slab"):
                     from mmde_tpu.ops.window_attention_pallas import \
                         cosine_window_attention_pallas
                     out = cosine_window_attention_pallas(
@@ -349,18 +350,18 @@ class SwinBlock(nn.Module):
         else:
             attn_mask = None
 
-        # v3 slab kernel: OPT-IN only. Measured on v5e (docs/PERF.md): the
-        # map-layout kernel loses ~2x to the packed kernel at swin-base
-        # stage shapes — Mosaic's lowering of non-8-aligned static window
-        # slices + in-kernel (ws, ws, C)->(N, C) reshapes is far more
-        # expensive than XLA's partition/reverse transposes it replaces —
-        # and its per-stage compile runs into many minutes. Kept for
-        # experimentation on future toolchains.
-        import os
+        # v3 slab kernel: OPT-IN only (attn_impl="pallas_slab", resolved
+        # once at model build — see models.two_frame.resolve_attn_impl).
+        # Measured on v5e (docs/PERF.md): the map-layout kernel loses ~2x to
+        # the packed kernel at swin-base stage shapes — Mosaic's lowering of
+        # non-8-aligned static window slices + in-kernel (ws, ws, C)->(N, C)
+        # reshapes is far more expensive than XLA's partition/reverse
+        # transposes it replaces — and its per-stage compile runs into many
+        # minutes. Kept for experimentation on future toolchains. Windows
+        # where slab_plan has no legal layout fall back to the packed path.
         from mmde_tpu.ops.window_attention_slab import slab_plan
-        use_slab = (self.attn_impl == "pallas"
+        use_slab = (self.attn_impl == "pallas_slab"
                     and self.attn_type == "cosine_mh"
-                    and os.environ.get("MMDE_SLAB") == "1"
                     and slab_plan(ws, Wp, self.num_heads,
                                   C // self.num_heads, C) is not None)
         attn_mod = WindowAttention(
@@ -687,12 +688,21 @@ class SwinTransformerV2(nn.Module):
         else:
             raise NotImplementedError(self.patch_embed_type)
 
+        # Frozen-stage gradient stops (ref :1201-1216): fs>=0 freezes
+        # patch_embed, fs>=1 the abs pos embed, fs>=i+2 stage i. Weight
+        # decay / optimizer updates for the same subtrees are zeroed in
+        # train.optim.build_optimizer(frozen_stages=...).
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
         if self.ape:
             res = self.pretrain_img_size // 4
             ape = self.param("absolute_pos_embed", trunc_normal_init(0.02),
                              (1, res, res, self.embed_dim))
             ape_r = jax.image.resize(
                 ape, (1, x.shape[1], x.shape[2], self.embed_dim), "bicubic")
+            if self.frozen_stages >= 1:
+                ape_r = jax.lax.stop_gradient(ape_r)
             x = x + ape_r.astype(x.dtype)
 
         # stochastic-depth schedule over the flattened block list
@@ -737,7 +747,7 @@ class SwinTransformerV2(nn.Module):
                 name=f"layers_{i}",
             )(x, deterministic)
 
-            if self.frozen_stages >= i + 1:
+            if self.frozen_stages >= i + 2:
                 x = jax.lax.stop_gradient(x)
                 x_out = jax.lax.stop_gradient(x_out)
 

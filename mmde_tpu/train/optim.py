@@ -113,6 +113,33 @@ def weight_decay_mask(params):
         treedef, [decay(p, l) for p, l in flat])
 
 
+def frozen_stage_scales(params, frozen_stages: int):
+    """0/1 pytree: 0 for parameters frozen by `frozen_stages` (reference
+    swin_transformer_v2.py:1201-1216 requires_grad=False semantics):
+    fs>=0 freezes patch_embed, fs>=1 absolute_pos_embed, fs>=i+2 stage i.
+    Applied AFTER add_decayed_weights so it zeroes both the Adam step and
+    the weight decay of frozen params (the module's stop_gradient already
+    zeroes their grads, but decay would otherwise still shrink them)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def scale(path):
+        keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        if frozen_stages >= 0 and any(k.startswith("patch_embed")
+                                      for k in keys):
+            return 0.0
+        if frozen_stages >= 1 and "absolute_pos_embed" in keys:
+            return 0.0
+        for k in keys:
+            if k.startswith("layers_"):
+                stage = int(k.split("_")[1])
+                if frozen_stages >= stage + 2:
+                    return 0.0
+        return 1.0
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [scale(p) for p, _ in flat])
+
+
 def _scale_by_tree(scales):
     def init_fn(params):
         del params
@@ -128,12 +155,14 @@ def _scale_by_tree(scales):
 def build_optimizer(params, *, backbone: str, depths: Sequence[int],
                     max_lr: float, min_lr: float, weight_decay: float,
                     layer_decay: float, steps_per_epoch: int, epochs: int,
-                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                    frozen_stages: int = -1):
     """AdamW + (for swin backbones) layer-decay scaling + poly LR schedule.
 
     Matches the construction at reference train.py:113-115. For non-swin
     backbones the reference's training loop applies a flat LR
-    (train.py:203), so scales collapse to 1.
+    (train.py:203), so scales collapse to 1. `frozen_stages` zeroes the
+    full update (Adam step + weight decay) for frozen swin subtrees.
     """
     schedule = poly_lr_schedule(max_lr, min_lr, steps_per_epoch, epochs)
     chain = [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
@@ -141,5 +170,8 @@ def build_optimizer(params, *, backbone: str, depths: Sequence[int],
     if "swin" in backbone:
         scales, _ = build_layer_scales(params, depths, layer_decay)
         chain.append(_scale_by_tree(scales))
+        if frozen_stages >= 0:
+            chain.append(_scale_by_tree(
+                frozen_stage_scales(params, frozen_stages)))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain), schedule

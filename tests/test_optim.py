@@ -80,3 +80,57 @@ class TestWeightDecayMask:
         assert m["attn"]["logit_scale"] is False      # no-decay name (3-D!)
         assert m["rpe_fc1"]["kernel"] is False
         assert m["rpe_fc2"]["kernel"] is False
+
+
+class TestFrozenStages:
+    """frozen_stages must zero the FULL update (Adam step + weight decay)
+    for frozen subtrees (ref swin_transformer_v2.py:1201-1216), so frozen
+    params are bit-identical after a step even with weight_decay > 0."""
+
+    def _params(self):
+        return {
+            "encoder": {
+                "patch_embed": {"proj": {"kernel": jnp.ones((4, 4))}},
+                "absolute_pos_embed": jnp.ones((1, 2, 2, 4)),
+                "layers_0": {"blocks_0": {"w": jnp.ones((4, 4))}},
+                "layers_1": {"blocks_0": {"w": jnp.ones((4, 4))}},
+            },
+            "decoder": {"w": jnp.ones((4, 4))},
+        }
+
+    def test_scales(self):
+        from mmde_tpu.train.optim import frozen_stage_scales
+        p = self._params()
+        s = frozen_stage_scales(p, 2)
+        assert s["encoder"]["patch_embed"]["proj"]["kernel"] == 0.0
+        assert s["encoder"]["absolute_pos_embed"] == 0.0
+        assert s["encoder"]["layers_0"]["blocks_0"]["w"] == 0.0   # fs>=0+2
+        assert s["encoder"]["layers_1"]["blocks_0"]["w"] == 1.0
+        assert s["decoder"]["w"] == 1.0
+        s0 = frozen_stage_scales(p, 0)
+        assert s0["encoder"]["patch_embed"]["proj"]["kernel"] == 0.0
+        assert s0["encoder"]["absolute_pos_embed"] == 1.0
+        assert s0["encoder"]["layers_0"]["blocks_0"]["w"] == 1.0
+
+    def test_frozen_params_unchanged_by_step(self):
+        from mmde_tpu.train.optim import build_optimizer
+        p = self._params()
+        tx, _ = build_optimizer(
+            p, backbone="swin_base_v2", depths=(2, 2), max_lr=1e-2,
+            min_lr=1e-3, weight_decay=0.5, layer_decay=0.9,
+            steps_per_epoch=10, epochs=2, frozen_stages=2)
+        state = tx.init(p)
+        grads = jax.tree.map(jnp.ones_like, p)
+        updates, _ = tx.update(grads, state, p)
+        new_p = jax.tree.map(lambda a, u: a + u, p, updates)
+        np.testing.assert_array_equal(
+            np.asarray(new_p["encoder"]["patch_embed"]["proj"]["kernel"]),
+            np.asarray(p["encoder"]["patch_embed"]["proj"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(new_p["encoder"]["layers_0"]["blocks_0"]["w"]),
+            np.asarray(p["encoder"]["layers_0"]["blocks_0"]["w"]))
+        # unfrozen params DO move (incl. decay)
+        assert np.abs(np.asarray(updates["decoder"]["w"])).min() > 0
+        assert np.abs(
+            np.asarray(updates["encoder"]["layers_1"]["blocks_0"]["w"])
+        ).min() > 0
