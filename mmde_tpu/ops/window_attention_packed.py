@@ -397,10 +397,14 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dq
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dk
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dv
-        # per-window ds tiles (write-once); reduced to dbias in XLA below.
-        # bf16: the window sum happens in fp32, only the per-window partials
-        # are rounded (~0.4% relative) — within gradient noise.
-        jax.ShapeDtypeStruct((B,) + bias_packed.shape, jnp.bfloat16),
+        # per-window ds tiles (write-once); reduced to dbias in XLA below,
+        # in the INPUT dtype: fp32 models get exact fp32 RPE-bias grads,
+        # bf16 models keep the halved ds_all HBM traffic (the window sum
+        # still happens in fp32; only per-window partials are rounded,
+        # ~0.4% relative — within bf16 gradient noise). NOTE the transient
+        # ds_all HBM peak: (B_, nG, Np, HG*Np) ≈ 1.3 GB bf16 at flagship
+        # stage-1 shapes (B_=192, Np=912) before the XLA reduction.
+        jax.ShapeDtypeStruct((B,) + bias_packed.shape, gdt),
         jax.ShapeDtypeStruct((nH, 128), jnp.float32),           # dls
     )
     out_specs = (

@@ -293,8 +293,10 @@ def _pallas_backward(q, k, v, logit_scale, bias, mask, g, interpret: bool):
         jax.ShapeDtypeStruct((B, nH, Np, Dh), jnp.float32),   # dq
         jax.ShapeDtypeStruct((B, nH, Np, Dh), jnp.float32),   # dk
         jax.ShapeDtypeStruct((B, nH, Np, Dh), jnp.float32),   # dv
-        # per-window ds tiles (write-once); summed to dbias in XLA below
-        jax.ShapeDtypeStruct((B, nH, Np, Np), jnp.bfloat16),
+        # per-window ds tiles (write-once); summed to dbias in XLA below,
+        # in the INPUT dtype (fp32 in -> exact fp32 RPE grads; bf16 in ->
+        # halved ds_all HBM traffic, ~0.4% relative partial rounding)
+        jax.ShapeDtypeStruct((B, nH, Np, Np), in_dtype),
         jax.ShapeDtypeStruct((nH, 128), jnp.float32),         # dls (col 0)
     )
     out_specs = (

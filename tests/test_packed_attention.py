@@ -86,9 +86,9 @@ def test_gradients_match_xla(with_mask):
 
     gp = jax.grad(loss_packed, argnums=(0, 1, 2))(qkv, ls, bias)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(qkv, ls, bias)
-    # dbias goes through the bf16 per-window ds dump (summed in fp32), so it
-    # carries ~0.4% relative rounding; dqkv/dls are exact-fp32 paths.
-    tols = {"dqkv": 2e-4, "dlogit_scale": 2e-4, "dbias": 2e-2}
+    # ds dumps follow the input dtype (fp32 here), so dbias is an
+    # exact-fp32 path like dqkv/dls.
+    tols = {"dqkv": 2e-4, "dlogit_scale": 2e-4, "dbias": 2e-4}
     for a, b, name in zip(gp, gx, ["dqkv", "dlogit_scale", "dbias"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=tols[name], atol=tols[name],
@@ -106,7 +106,7 @@ def test_gradients_qtiled_padded():
 
     gp = jax.grad(loss_packed, argnums=(0, 1, 2))(qkv, ls, bias)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(qkv, ls, bias)
-    tols = {"dqkv": 5e-4, "dlogit_scale": 5e-4, "dbias": 2e-2}
+    tols = {"dqkv": 5e-4, "dlogit_scale": 5e-4, "dbias": 5e-4}
     for a, b, name in zip(gp, gx, ["dqkv", "dlogit_scale", "dbias"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=tols[name], atol=tols[name],
@@ -130,7 +130,7 @@ def test_plan_fallback_cases():
     assert attention_plan(49, 3, 32, 96) is None      # C % 128 != 0
     assert attention_plan(49, 8, 48, 384) is None     # 128 % Dh != 0
     bq, np_, nq, hg, ng, bq_b = attention_plan(900, 16, 32, 512)
-    assert np_ % bq == 0 and np_ % bq_b == 0 and np_ >= 900 <= np_
+    assert np_ % bq == 0 and np_ % bq_b == 0 and 900 <= np_ <= 960
     assert (hg, ng) == (4, 4) and bq >= 96 and np_ <= 960
     bq, np_, nq, hg, ng, bq_b = attention_plan(225, 32, 32, 1024)
     assert hg == 4 and ng == 8 and np_ % bq == 0 and np_ % bq_b == 0 and np_ >= 225
