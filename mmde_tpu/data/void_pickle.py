@@ -84,6 +84,94 @@ class VoidPickle:
         }
 
 
+class VoidPickleV1:
+    """v1 pickle loader (ref dataset/void.py).
+
+    Schema: each pickle is a 1-element list whose dict carries DISTORTED
+    raw_image1/raw_image2, depth_image1/depth_image2 (x1000 scale),
+    rel_pose, imu_data, dt and Rodrigues (ref void.py:84-97). With
+    transform=True (the training default) the loader
+      * adds gaussian noise (std 0.2) to the IMU stream (ref :111-114);
+      * undistorts the stored raw images on the fly with the calibration's
+        radtan model via getOptimalNewCameraMatrix(alpha=0) + undistort
+        (ref :117-122).
+    Unlike the reference (which crashes with transform=False because
+    `undistorted_raw1` is unbound, a known defect), transform=False returns
+    the raw images as stored.
+    """
+
+    def __init__(self, list_file: str, calibration_path: Optional[str] = None,
+                 transform: bool = True, imu_noise_std: float = 0.2,
+                 imu_max_len: int = 256, seed: int = 0):
+        with open(list_file) as f:
+            self.files = [l.strip() for l in f if l.strip()]
+        self.transform = transform
+        self.imu_noise_std = imu_noise_std
+        self.imu_max_len = imu_max_len
+        self._seed = seed
+        self.calib = None
+        self.K = None
+        if calibration_path:
+            import json
+            with open(calibration_path) as f:
+                cam = json.load(f)["camera"]
+            self.K = np.array([[cam["f_x"], 0, cam["c_x"]],
+                               [0, cam["f_y"], cam["c_y"]],
+                               [0, 0, 1]], np.float64)
+            # reference v1 ordering (void.py:30): [k0, k1, p1, p2, k2]
+            self.dist = np.array([cam["k_0"], cam["k_1"], cam["p_x"],
+                                  cam["p_y"], cam["k_2"]], np.float64)
+        self._new_K = None
+
+    def __len__(self):
+        return len(self.files)
+
+    def _undistort(self, img: np.ndarray) -> np.ndarray:
+        import cv2
+        h, w = img.shape[:2]
+        if self._new_K is None:
+            self._new_K, _ = cv2.getOptimalNewCameraMatrix(
+                self.K, self.dist, (w, h), 0)
+        return cv2.undistort(np.asarray(img), self.K, self.dist, None,
+                             self._new_K)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        with open(self.files[idx], "rb") as f:
+            raw = pickle.load(f)
+        d = raw[0] if isinstance(raw, (list, tuple)) else raw
+
+        img1 = np.asarray(d["raw_image1"])
+        img2 = np.asarray(d["raw_image2"])
+        imu = np.asarray(d.get("imu_data", np.zeros((0, 7))), np.float32)
+
+        if self.transform:
+            rng = np.random.default_rng((self._seed, idx))
+            if imu.size:
+                imu = imu + rng.normal(
+                    0.0, self.imu_noise_std, imu.shape).astype(np.float32)
+            if self.K is not None:
+                img1 = self._undistort(img1)
+                img2 = self._undistort(img2)
+
+        n = min(len(imu), self.imu_max_len)
+        tail = imu.shape[1:] if imu.ndim > 1 else (7,)
+        imu_pad = np.zeros((self.imu_max_len,) + tail, np.float32)
+        imu_pad[:n] = imu[:n]
+
+        return {
+            "image1": np.asarray(img1, np.float32) / 255.0,
+            "image2": np.asarray(img2, np.float32) / 255.0,
+            "depth1": np.asarray(d["depth_image1"], np.float32) / 1000.0,
+            "depth2": np.asarray(d["depth_image2"], np.float32) / 1000.0,
+            "rel_pose": np.asarray(d["rel_pose"], np.float32),
+            "imu_data": imu_pad, "imu_len": np.int32(n),
+            "dt": np.float32(d.get("dt", 0.0)),
+            "w": np.asarray(d.get("Rodrigues", np.zeros(3)),
+                            np.float32).reshape(-1),
+            "filename": os.path.basename(self.files[idx]),
+        }
+
+
 def generate_pickles(data_path: str, calibration_path: str, out_dir: str,
                      scenes: Optional[List[str]] = None,
                      offset_range: Tuple[int, int] = (5, 10),

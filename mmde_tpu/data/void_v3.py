@@ -146,9 +146,31 @@ class _SceneCache:
         self.K = np.loadtxt(os.path.join(base, "K.txt"), dtype=np.float64)
         self.calib = calib
         self._maps = None
+        # IMU source: raw.csv, auto-converted from raw.bag on miss (the
+        # reference shells out to `rostopic echo` at void_dataset_v3.py:89-105;
+        # we parse the bag natively). A scene with neither file trains with
+        # empty IMU tensors — warn loudly instead of failing silently.
         imu_csv = os.path.join(raw_dir, scene, "raw.csv")
-        self.imu = load_imu_csv(imu_csv, calib) if os.path.isfile(imu_csv) \
-            else None
+        imu_bag = os.path.join(raw_dir, scene, "raw.bag")
+        if not os.path.isfile(imu_csv) and os.path.isfile(imu_bag):
+            from mmde_tpu.data.rosbag import convert_bag_to_csv
+            try:
+                n = convert_bag_to_csv(imu_bag, imu_csv)
+                print(f"[void_v3] {scene}: converted raw.bag -> raw.csv "
+                      f"({n} IMU rows)")
+            except Exception as e:
+                import warnings
+                warnings.warn(f"[void_v3] {scene}: raw.bag -> raw.csv "
+                              f"conversion failed ({e}); IMU will be empty")
+        if os.path.isfile(imu_csv):
+            self.imu = load_imu_csv(imu_csv, calib)
+        else:
+            import warnings
+            warnings.warn(
+                f"[void_v3] scene '{scene}' has no IMU source "
+                f"({imu_csv} / raw.bag missing): samples from this scene "
+                f"carry zero-length IMU tensors")
+            self.imu = None
 
     def undistort(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]

@@ -99,13 +99,32 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
 
 def make_eval_step(model, *, decoder: str, lambda_rot: float,
                    lambda_trans: float, silog_lambda: float = 0.5, mesh=None,
-                   flip_tta: bool = False):
+                   flip_tta: bool = False,
+                   shift_window: Optional[int] = None,
+                   shift_stride: Optional[int] = None):
     """Jitted eval forward + losses. Returns (preds, loss aux).
 
     flip_tta: horizontally mirror the frames, re-run, and average the
     un-mirrored depth maps (reference test.py:104-110); pose predictions
     come from the unflipped pass (mirroring changes the true pose).
+    shift_window: slide (H x shift_window) crops across the width and
+    recompose by coverage averaging (reference test.py:93-115, here wired
+    for the two-frame family); a no-op when the image is not wider than the
+    crop. Composable with flip_tta (flip applies over the composition).
     """
+
+    def full_forward(variables, f1, f2, **kwargs):
+        if shift_window and f1.shape[2] > shift_window:
+            assert not kwargs, \
+                "shift-window TTA + sparse-depth inputs not supported"
+            from mmde_tpu.train import tta
+
+            def fwd(c1, c2):
+                return model.apply(variables, c1, c2, False)
+
+            return tta.shift_window_eval_two_frame(
+                fwd, f1, f2, crop=shift_window, stride=shift_stride)
+        return model.apply(variables, f1, f2, False, **kwargs)
 
     def eval_step(state: TrainState, batch):
         kwargs = {}
@@ -115,12 +134,12 @@ def make_eval_step(model, *, decoder: str, lambda_rot: float,
                                            batch["sparse_depth1"])}
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        out = model.apply(variables, batch["image1"], batch["image2"], False,
-                          **kwargs)
+        out = full_forward(variables, batch["image1"], batch["image2"],
+                           **kwargs)
         if flip_tta:
             fkwargs = {k: v[:, :, ::-1] for k, v in kwargs.items()}
-            fout = model.apply(variables, batch["image1"][:, :, ::-1],
-                               batch["image2"][:, :, ::-1], False, **fkwargs)
+            fout = full_forward(variables, batch["image1"][:, :, ::-1],
+                                batch["image2"][:, :, ::-1], **fkwargs)
             out = dict(out)
             for k in ("pred_d1", "pred_d2"):
                 out[k] = 0.5 * (out[k] + fout[k][:, :, ::-1])

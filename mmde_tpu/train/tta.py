@@ -61,3 +61,48 @@ def shift_window_eval(forward: Callable[[jnp.ndarray], jnp.ndarray],
         out = out.at[:, :, x:x + crop, :].add(preds[i])
         count = count.at[:, :, x:x + crop, :].add(1.0)
     return out / count
+
+
+def shift_window_eval_two_frame(forward, frame1: jnp.ndarray,
+                                frame2: jnp.ndarray, crop: int,
+                                stride: int = None) -> Dict[str, jnp.ndarray]:
+    """Shift-window TTA for the two-frame family (VERDICT follow-up to
+    reference test.py:93-115, which only wires it for single-frame GLPDepth).
+
+    forward: (S*B, H, crop, 3) x2 -> dict with pred_d1/pred_d2
+    (S*B, H, crop, 1) and pose outputs (S*B, 9)/(S*B, 3) (r21/t21 may be
+    None for decoder_v1). Both frames are cropped in lockstep; depth maps
+    are recomposed by coverage-weighted averaging; pose predictions are
+    averaged over the windows (chordal mean) and the rotations re-projected
+    onto SO(3).
+    """
+    from mmde_tpu.geometry import normalize_rotation
+
+    B, H, W, _ = frame1.shape
+    stride = stride or crop // 2
+    xs = shift_window_positions(W, crop, stride)
+    S = len(xs)
+
+    c1 = jnp.concatenate([frame1[:, :, x:x + crop, :] for x in xs], axis=0)
+    c2 = jnp.concatenate([frame2[:, :, x:x + crop, :] for x in xs], axis=0)
+    out = forward(c1, c2)
+
+    res = dict(out)
+    for k in ("pred_d1", "pred_d2"):
+        if out.get(k) is None:
+            continue
+        d = out[k].reshape(S, B, H, crop, -1)
+        acc = jnp.zeros((B, H, W, d.shape[-1]), d.dtype)
+        count = jnp.zeros((1, 1, W, 1), d.dtype)
+        for i, x in enumerate(xs):
+            acc = acc.at[:, :, x:x + crop, :].add(d[i])
+            count = count.at[:, :, x:x + crop, :].add(1.0)
+        res[k] = acc / count
+    for k in ("pred_r12", "pred_r21"):
+        if out.get(k) is not None:
+            r = out[k].reshape(S, B, 9).mean(axis=0)
+            res[k] = normalize_rotation(r.astype(jnp.float32)).astype(r.dtype)
+    for k in ("pred_t12", "pred_t21"):
+        if out.get(k) is not None:
+            res[k] = out[k].reshape(S, B, -1).mean(axis=0)
+    return res

@@ -74,7 +74,8 @@ def void_tree(tmp_path_factory):
         "alignment": {"t_camera_to_body": [0.01, 0.02, 0.03],
                       "w_camera_to_body": [0.01, -0.02, 0.005]},
         "imu": {"b_a": [0.1, -0.05, 9.8], "b_g": [0.001, 0.002, -0.001]},
-        "camera": {"k_0": -0.3, "k_1": 0.09, "k_2": -0.01,
+        "camera": {"f_x": 500.0, "f_y": 500.0, "c_x": W / 2, "c_y": H / 2,
+                   "k_0": -0.3, "k_1": 0.09, "k_2": -0.01,
                    "p_x": 0.0005, "p_y": -0.0003},
     }
     calib_path = root / "calibration.json"

@@ -65,15 +65,17 @@ def main():
         state, epoch = orbax_io.restore(args.ckpt, state)
         print(f"restored epoch {epoch} from {args.ckpt}")
 
+    shift_window = cfg.data.crop_h if args.shift_window_tta else None
     eval_fn = make_eval_step(model, decoder=cfg.model.decoder,
                              lambda_rot=cfg.train.loss_lambda1,
                              lambda_trans=cfg.train.loss_lambda2,
-                             flip_tta=args.flip_tta)
+                             flip_tta=args.flip_tta,
+                             shift_window=shift_window)
     if args.flip_tta:
         print("TTA: horizontal-flip averaging enabled")
     if args.shift_window_tta:
-        print("TTA: shift-window (use tools with the single-frame family "
-              "via mmde_tpu.train.single_frame.evaluate_single)")
+        print(f"TTA: shift-window over {shift_window}-px crops "
+              f"(ref test.py:93-115, two-frame composition)")
 
     result, losses = validate(eval_fn, state, _limited(val_loader,
                                                        args.max_batches), cfg)
@@ -90,10 +92,21 @@ def main():
             d2 = np.asarray(jnp.squeeze(preds["pred_d2"], -1))[0]
             name = batch.get("filename", [f"sample_{n}"])[0]
             if args.save_pngs:
+                # per-frame artifacts + pose txt, as the reference evaluators
+                # export (test_void_with_custom_network.py:85-120)
                 os.makedirs(args.save_pngs, exist_ok=True)
                 viz.save_depth_png16(os.path.join(args.save_pngs,
-                                                  f"{n:05d}.png"),
+                                                  f"{n:05d}_d1.png"),
                                      d1, cfg.data.dataset)
+                viz.save_depth_png16(os.path.join(args.save_pngs,
+                                                  f"{n:05d}_d2.png"),
+                                     d2, cfg.data.dataset)
+                viz.save_pose_txt(
+                    args.save_pngs, f"pose_{n:05d}",
+                    np.asarray(arrays["R12"][0]),
+                    np.asarray(preds["pred_r12"][0]),
+                    np.asarray(arrays["T12"][0]),
+                    np.asarray(preds["pred_t12"][0]))
             if args.save_viz:
                 viz.save_comparison_panel(
                     args.save_viz, str(name).replace("/", "_"),
