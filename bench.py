@@ -26,6 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    # honor an explicit platform request even though the container's
+    # sitecustomize pre-imports jax with the axon TPU tunnel pinned
+    # (backends initialize lazily, so this still applies)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     # persistent compilation cache: first-time compiles of the flagship
     # train step take minutes through the remote-compile tunnel; cached
     # executables make repeat benchmark runs start in seconds
@@ -96,6 +104,21 @@ def main():
     n_chips = 1  # single-chip bench
     images_per_sec = batch_size * steps / dt / n_chips
 
+    # MFU vs the chip's own sustained bf16 matmul rate (a large matmul on
+    # this v5e measures 122 TFLOP/s, docs/PERF.md) using XLA's flop count
+    # for the compiled step. Dh=32 against the 128-wide MXU caps the
+    # achievable ratio at ~25% for the attention share (docs/PERF.md).
+    tflops_per_step = 0.0
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        tflops_per_step = float(cost.get("flops", 0.0)) / 1e12
+    except Exception:
+        pass
+    achieved_tflops = tflops_per_step * steps / dt
+    mfu = achieved_tflops / 122.0 if tflops_per_step else 0.0
+
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "reference_baseline.json")
     vs_baseline = 0.0
@@ -111,6 +134,9 @@ def main():
         "value": round(images_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "tflops_per_step": round(tflops_per_step, 2),
+        "achieved_tflops_per_sec": round(achieved_tflops, 2),
+        "mfu_vs_sustained_122tflops": round(mfu, 4),
     }))
 
 

@@ -49,14 +49,26 @@ def drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
 
 
 class DropPath(nn.Module):
+    """Stochastic depth. `window_groups` > 1 marks window-partitioned input
+    (leading dim = B * nW, sample-major): the per-SAMPLE drop mask is drawn
+    at batch size B and repeated across each sample's nW windows, keeping
+    the reference's per-sample semantics in the window-resident layout."""
     rate: float = 0.0
+    window_groups: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if deterministic or self.rate == 0.0:
             return x
         rng = self.make_rng("droppath")
-        return drop_path(x, self.rate, False, rng)
+        g = self.window_groups
+        if g <= 1:
+            return drop_path(x, self.rate, False, rng)
+        keep = 1.0 - self.rate
+        shape = (x.shape[0] // g,) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        mask = jnp.repeat(mask, g, axis=0)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 def trunc_normal_init(std: float = 0.02):

@@ -326,12 +326,26 @@ class SwinBlock(nn.Module):
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
     deterministic: bool = True
+    # "map": input is (B, H, W, C); the block pads/rolls/partitions itself.
+    # "windows": input is already window-partitioned (B*nW, N, C) — used by
+    # BasicLayer for shift-free stages so the partition/reverse transposes
+    # happen ONCE per stage instead of twice per block (LN/MLP/residuals
+    # are pointwise over C, hence layout-agnostic). Requires shift_size==0.
+    layout: str = "map"
+    num_windows: int = 1                    # nW per sample (windows layout)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray]):
         deterministic = self.deterministic
-        B, H, W, C = x.shape
         ws, ss = self.window_size, self.shift_size
+
+        if self.layout == "windows":
+            # the stage applies any cyclic shift via window_roll; the block
+            # itself only needs the (possibly None) SW-MSA mask
+            assert ss == 0, "windows layout requires shift_size=0"
+            return self._windows_body(x, mask, deterministic)
+
+        B, H, W, C = x.shape
 
         shortcut = x
         if not self.postnorm:
@@ -392,6 +406,63 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W, :]
 
         dp = DropPath(self.drop_path_rate)
+        if self.postnorm:
+            x = LayerNormFP32(name="norm1")(x)
+            x = shortcut + dp(x, deterministic)
+            shortcut = x
+            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
+                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                    name="mlp")(x, deterministic)
+            y = LayerNormFP32(name="norm2")(y)
+            x = shortcut + dp(y, deterministic)
+        else:
+            if self.init_values is not None and self.init_values >= 0:
+                gamma_1 = self.param("gamma_1",
+                                     nn.initializers.constant(self.init_values),
+                                     (C,))
+                gamma_2 = self.param("gamma_2",
+                                     nn.initializers.constant(self.init_values),
+                                     (C,))
+            else:
+                gamma_1 = gamma_2 = 1.0
+            x = shortcut + dp(gamma_1 * x, deterministic)
+            shortcut = x
+            y = LayerNormFP32(name="norm2")(x)
+            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
+                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                    name="mlp")(y, deterministic)
+            x = shortcut + dp(gamma_2 * y, deterministic)
+
+        if self.endnorm:
+            x = LayerNormFP32(name="enorm")(x)
+        return x
+
+    def _windows_body(self, x, mask, deterministic):
+        """Block body on already-partitioned (B*nW, N, C) input: identical
+        math and parameter structure to the map path, minus the pad / roll /
+        partition / reverse bookkeeping (all removed ops are layout moves,
+        not arithmetic). `mask` is the SW-MSA mask when the stage rolled the
+        windows before this block."""
+        C = x.shape[-1]
+        shortcut = x
+        if not self.postnorm:
+            x = LayerNormFP32(name="norm1")(x)
+
+        attn_mod = WindowAttention(
+            dim=C, window_size=(self.window_size, self.window_size),
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_type=self.attn_type, rpe_table_type=self.rpe_table_type,
+            rpe_hidden_dim=self.rpe_hidden_dim,
+            rpe_output_type=self.rpe_output_type,
+            pretrain_window_size=self.pretrain_window_size,
+            fp32_out=self.mlpfp32, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="attn",
+        )
+        from jax.ad_checkpoint import checkpoint_name
+        x = attn_mod(x, mask)
+        x = checkpoint_name(x, "swin_attn_out")
+
+        dp = DropPath(self.drop_path_rate, window_groups=self.num_windows)
         if self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
             x = shortcut + dp(x, deterministic)
@@ -541,6 +612,35 @@ class ResNetDLNPatchEmbed(nn.Module):
         return x
 
 
+def window_roll(xw: jnp.ndarray, ws: int, ss: int, h_wins: int, w_wins: int,
+                reverse: bool = False) -> jnp.ndarray:
+    """Cyclic map-space roll by (-ss, -ss) — or its inverse — applied
+    DIRECTLY in window-partitioned layout (B*nW, ws*ws, C) via quadrant
+    concatenation: each rolled window is stitched from its own lower-right
+    part and the upper/left strips of its (cyclic) right/bottom neighbors.
+    Equivalent to window_reverse -> jnp.roll -> window_partition but with
+    contiguous (ws*C)-run copies instead of two non-8-aligned transposes
+    plus a roll (the map path's dominant copy cost at ws=30)."""
+    B_, N, C = xw.shape
+    B = B_ // (h_wins * w_wins)
+    x6 = xw.reshape(B, h_wins, w_wins, ws, ws, C)
+    if not reverse:
+        x6 = jnp.concatenate(
+            [x6[:, :, :, ss:], jnp.roll(x6, -1, axis=1)[:, :, :, :ss]],
+            axis=3)
+        x6 = jnp.concatenate(
+            [x6[:, :, :, :, ss:], jnp.roll(x6, -1, axis=2)[:, :, :, :, :ss]],
+            axis=4)
+    else:
+        x6 = jnp.concatenate(
+            [jnp.roll(x6, 1, axis=1)[:, :, :, ws - ss:],
+             x6[:, :, :, :ws - ss]], axis=3)
+        x6 = jnp.concatenate(
+            [jnp.roll(x6, 1, axis=2)[:, :, :, :, ws - ss:],
+             x6[:, :, :, :, :ws - ss]], axis=4)
+    return x6.reshape(B_, N, C)
+
+
 class BasicLayer(nn.Module):
     """One Swin stage: blocks (alternating shift) + optional downsample
     (ref :750-915). The SW-MSA mask is a trace-time numpy constant."""
@@ -578,6 +678,19 @@ class BasicLayer(nn.Module):
         mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, ss)) \
             if (self.use_shift and self.depth > 1) else None
 
+        # Stages on window-aligned maps run WINDOW-RESIDENT: partition once
+        # here, keep every block in (B*nW, N, C), reverse once at the end —
+        # instead of a partition + reverse transpose pair per block. Cyclic
+        # shifts for SW-MSA blocks are applied in window layout by
+        # `window_roll` (quadrant concatenation). The slab kernel reads the
+        # map directly, so it keeps the per-block path.
+        windows_resident = (H % ws == 0 and W % ws == 0
+                            and self.attn_impl != "pallas_slab")
+        if windows_resident:
+            h_wins, w_wins = H // ws, W // ws
+            n_win = h_wins * w_wins
+            x = window_partition(x, ws)                  # (B*nW, N, C)
+
         block_cls = SwinBlock
         if self.use_checkpoint:
             if self.remat_policy == "attn_out":
@@ -600,9 +713,12 @@ class BasicLayer(nn.Module):
             shift = 0 if (i % 2 == 0 or not self.use_shift) else ss
             endnorm = (self.endnorm_interval > 0
                        and (i + 1) % self.endnorm_interval == 0)
+            if windows_resident and shift > 0:
+                x = window_roll(x, ws, shift, h_wins, w_wins)
             x = block_cls(
                 dim=C, num_heads=self.num_heads, window_size=ws,
-                shift_size=shift, mlp_ratio=self.mlp_ratio,
+                shift_size=0 if windows_resident else shift,
+                mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 drop_path_rate=(self.drop_path_rates[i]
                                 if i < len(self.drop_path_rates) else 0.0),
@@ -615,8 +731,15 @@ class BasicLayer(nn.Module):
                 mlpfp32=(i in self.mlpfp32_blocks),
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 deterministic=deterministic,
+                layout="windows" if windows_resident else "map",
+                num_windows=n_win if windows_resident else 1,
                 name=f"blocks_{i}",
             )(x, mask if shift > 0 else None)
+            if windows_resident and shift > 0:
+                x = window_roll(x, ws, shift, h_wins, w_wins, reverse=True)
+
+        if windows_resident:
+            x = window_reverse(x, ws, H, W)
 
         x_out = x
         if self.downsample == "merge":

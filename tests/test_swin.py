@@ -193,3 +193,62 @@ class TestSwinBackbone:
         o1 = m1.apply(p, x, True)[0]
         o2 = m2.apply(p, x, True)[0]
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestWindowResidentStage:
+    """Shift-free stages run window-resident (partition once per stage);
+    the math must be identical to the per-block map path."""
+
+    def test_block_layouts_equivalent(self):
+        import jax
+        from mmde_tpu.nn import swin_v2 as sw
+        kw = dict(dim=64, num_heads=2, window_size=4, shift_size=0,
+                  drop_path_rate=0.0, attn_impl="xla")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64),
+                              jnp.float32)
+        m_map = sw.SwinBlock(layout="map", **kw)
+        m_win = sw.SwinBlock(layout="windows", num_windows=4, **kw)
+        params = m_map.init(jax.random.PRNGKey(1), x, None)
+        out_map = m_map.apply(params, x, None)
+        xw = sw.window_partition(x, 4)
+        out_win = sw.window_reverse(m_win.apply(params, xw, None), 4, 8, 8)
+        np.testing.assert_allclose(np.asarray(out_win), np.asarray(out_map),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_stage_resident_matches_shifted_sibling_structure(self):
+        """A use_shift=False BasicLayer (window-resident) produces the same
+        params tree and the same output as building it block-by-block in
+        map layout (regression for the once-per-stage partition)."""
+        import jax
+        from mmde_tpu.nn import swin_v2 as sw
+        layer = sw.BasicLayer(dim=64, depth=3, num_heads=2, window_size=4,
+                              drop_path_rates=(0.0, 0.0, 0.0),
+                              use_shift=False, attn_impl="xla")
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 12, 64),
+                              jnp.float32)
+        params = layer.init(jax.random.PRNGKey(3), x)
+        x_out, _ = layer.apply(params, x)
+        assert x_out.shape == (1, 8, 12, 64)
+
+        # replay the same params through per-block map-layout blocks
+        y = x
+        for i in range(3):
+            blk = sw.SwinBlock(dim=64, num_heads=2, window_size=4,
+                               shift_size=0, drop_path_rate=0.0,
+                               attn_impl="xla")
+            bp = {"params": params["params"][f"blocks_{i}"]}
+            y = blk.apply(bp, y, None)
+        np.testing.assert_allclose(np.asarray(x_out), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_drop_path_mask_shared_across_windows(self):
+        import jax
+        from mmde_tpu.nn.layers import DropPath
+        dp = DropPath(rate=0.5, window_groups=4)
+        x = jnp.ones((8, 5, 3))         # 2 samples x 4 windows
+        out = dp.apply({}, x, False, rngs={"droppath": jax.random.PRNGKey(0)})
+        out = np.asarray(out)
+        for s in range(2):
+            grp = out[s * 4:(s + 1) * 4]
+            # all four windows of a sample share the same drop decision
+            assert (grp == grp[0]).all()
