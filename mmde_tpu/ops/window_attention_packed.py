@@ -64,6 +64,10 @@ from jax.experimental.pallas import tpu as pltpu
 from mmde_tpu.ops.window_attention import MAX_LOGIT_SCALE
 
 _NEG_INF = -1e9
+# Production grid order for the packed kernel (see _pallas_forward).
+# "window_resident" is the measured-stable v2; flip to "bias_resident"
+# once the v4 grid is hardware-audited + benchmarked faster.
+DEFAULT_GRID_MODE = "window_resident"
 # Candidate q-tile row counts (all 8-divisible), large to small. Large tiles
 # amortize per-cell grid overhead and the per-cell k/v re-normalization; the
 # plan takes the largest that fits the VMEM budget with minimal padding.
@@ -164,8 +168,8 @@ def pack_rpe_bias(bias_nnh: jnp.ndarray, ng: int, hg: int,
 
 
 def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-              *, hg: int, dh: int, np_: int):
-    g = pl.program_id(1)
+              *, hg: int, dh: int, np_: int, g_axis: int = 1):
+    g = pl.program_id(g_axis)
     kbuf = k_ref[0]
     vbuf = v_ref[0]
     mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
@@ -200,7 +204,16 @@ def _pad_rows(x, np_, value=0.0):
 
 
 def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                    interpret):
+                    interpret, grid_mode="window_resident"):
+    """grid_mode:
+      "window_resident" (v2): grid (B, nG, nQ), iq innermost — the k/v
+        window blocks stay resident across q tiles, the RPE bias block is
+        re-streamed for every window (BQ*HG*Np bytes per cell).
+      "bias_resident" (v4): grid (nG, nQ, B), b innermost — the bias block
+        stays resident across ALL windows (read ~once per layer instead of
+        once per window); k/v stream per cell instead. The bias block is
+        ~5x the k/v pair at flagship shapes, so this cuts per-cell HBM
+        traffic ~2x. Same math, same outputs."""
     B, N, C3 = qkv.shape
     C = C3 // 3
     nH = num_heads
@@ -210,33 +223,51 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
 
     ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
     qkv = _pad_rows(qkv, Np)
+    if mask is not None and mask.shape[1] != Np:
+        mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
+                              (0, Np - mask.shape[2])))
+    nW = mask.shape[0] if mask is not None else 0
+
+    if grid_mode == "bias_resident":
+        grid = (nG, nQ, B)
+        g_axis = 0
+        qt_idx = lambda g, iq, b: (b, iq, g)                  # noqa: E731
+        k_idx = lambda g, iq, b: (b, 0, nG + g)               # noqa: E731
+        v_idx = lambda g, iq, b: (b, 0, 2 * nG + g)           # noqa: E731
+        bias_idx = lambda g, iq, b: (g, iq, 0)                # noqa: E731
+        mask_idx = lambda g, iq, b: (b % nW, iq, 0)           # noqa: E731
+    else:
+        grid = (B, nG, nQ)
+        g_axis = 1
+        qt_idx = lambda b, g, iq: (b, iq, g)                  # noqa: E731
+        k_idx = lambda b, g, iq: (b, 0, nG + g)               # noqa: E731
+        v_idx = lambda b, g, iq: (b, 0, 2 * nG + g)           # noqa: E731
+        bias_idx = lambda b, g, iq: (g, iq, 0)                # noqa: E731
+        mask_idx = lambda b, g, iq: (b % nW, iq, 0)           # noqa: E731
 
     ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    qt_spec = pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g))
-    k_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, nG + g))
-    v_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, 2 * nG + g))
-    bias_spec = pl.BlockSpec((1, BQ, HG * Np), lambda b, g, iq: (g, iq, 0))
+    qt_spec = pl.BlockSpec((1, BQ, CG), qt_idx)
+    k_spec = pl.BlockSpec((1, Np, CG), k_idx)
+    v_spec = pl.BlockSpec((1, Np, CG), v_idx)
+    bias_spec = pl.BlockSpec((1, BQ, HG * Np), bias_idx)
     in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec]
     args = [ls2, qkv, qkv, qkv, bias_packed]
 
     if mask is not None:
-        nW = mask.shape[0]
-        if mask.shape[1] != Np:
-            mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
-                                  (0, Np - mask.shape[2])))
-        in_specs.append(pl.BlockSpec((1, BQ, Np),
-                                     lambda b, g, iq: (b % nW, iq, 0)))
+        in_specs.append(pl.BlockSpec((1, BQ, Np), mask_idx))
         args.append(mask)
-        body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np)
+        body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np,
+                                 g_axis=g_axis)
     else:
         def body(ls, qt, k, v, bias, out):
-            _fwd_body(ls, qt, k, v, bias, None, out, hg=HG, dh=Dh, np_=Np)
+            _fwd_body(ls, qt, k, v, bias, None, out, hg=HG, dh=Dh, np_=Np,
+                      g_axis=g_axis)
 
     out = pl.pallas_call(
         body,
-        grid=(B, nG, nQ),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g)),
+        out_specs=pl.BlockSpec((1, BQ, CG), qt_idx),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -349,6 +380,195 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
             ).astype(dk_ref.dtype)
 
 
+def _bwd_body_v4(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
+                 dq_ref, dkp_ref, dvp_ref, dbias_ref, dls_ref,
+                 *, hg: int, dh: int, np_: int):
+    """Bias-resident backward cell: grid (nG, nQ, B), b innermost.
+
+    dbias accumulates IN-KERNEL in fp32: its block index (g, iq) is fixed
+    while b sweeps, so revisits are CONSECUTIVE grid steps — the
+    hardware-verified-legal accumulation pattern (same one dk/dv used over
+    iq in the window-resident grid). This removes the (B_, nG, Np, HG*Np)
+    per-window ds dump (~0.6 GB HBM write + read at flagship stage-1 bs8)
+    and makes RPE-bias gradients exact fp32 sums for every model dtype.
+    dk/dv can no longer accumulate in-kernel (their (b, g) blocks are
+    revisited non-consecutively across iq), so each cell dumps its raw
+    dkn/dv partials per q-tile — (nQ, B, Np, C), ~5x smaller than the ds
+    dump — and the caller reduces over iq and applies the k-normalize VJP
+    in XLA. dls accumulates in a never-flushed block as before."""
+    g = pl.program_id(0)
+    iq = pl.program_id(1)
+    b = pl.program_id(2)
+    first_b = b == 0
+    first_cell = jnp.logical_and(
+        jnp.logical_and(g == 0, iq == 0), first_b)
+
+    @pl.when(first_cell)
+    def _():
+        dls_ref[:, :] = jnp.zeros(dls_ref.shape, jnp.float32)
+
+    kbuf = k_ref[0]
+    vbuf = v_ref[0]
+    mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    for t in range(hg):
+        cs = t * dh
+        q = qt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+        k = kbuf[:, cs:cs + dh].astype(jnp.float32)
+        v = vbuf[:, cs:cs + dh].astype(jnp.float32)
+        gr = gt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+
+        rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
+        rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+        qn = q * rq
+        kn = k * rk
+
+        ls = ls_ref[g * hg + t, 0]
+        scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
+        c = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = c * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+            jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, -1, keepdims=True)
+
+        dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+
+        dvp_ref[0, 0, :, cs:cs + dh] = jax.lax.dot_general(
+            p, gr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dvp_ref.dtype)
+
+        @pl.when(first_b)
+        def _():
+            dbias_ref[0, :, t * np_:(t + 1) * np_] = ds
+
+        @pl.when(jnp.logical_not(first_b))
+        def _():
+            dbias_ref[0, :, t * np_:(t + 1) * np_] += ds
+
+        gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
+        dls_val = scale * jnp.sum(ds * c) * gate
+        dls_ref[pl.ds(g * hg + t, 1), :] += jnp.where(lane == 0, dls_val, 0.0)
+
+        dqn = scale * jax.lax.dot_general(ds, kn, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        dq = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
+        dq_ref[0, :, cs:cs + dh] = dq.astype(dq_ref.dtype)
+
+        # raw dkn partial (pre normalize-VJP; scale folded in) — the caller
+        # sums over iq and applies the kn projection outside
+        dkp_ref[0, 0, :, cs:cs + dh] = (scale * jax.lax.dot_general(
+            ds, qn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dkp_ref.dtype)
+
+
+def _cell_vmem_bwd_v4(bq: int, np_: int, hg: int) -> int:
+    """v4 backward cell: resident bias + fp32 dbias accumulator dominate;
+    k/v stream per cell; dk/dv partial dump blocks replace the ds dump."""
+    bias = bq * hg * np_ * 4 * 2
+    dbias = bq * hg * np_ * 4 * 2
+    logits = 5 * bq * np_ * 4
+    kv = 2 * np_ * 128 * 2 * 2
+    mask = bq * np_ * 4 * 2
+    dumps = 2 * np_ * 128 * 4 * 2
+    qt = 3 * bq * 128 * 4 * 2
+    return bias + dbias + logits + kv + mask + dumps + qt
+
+
+def _pallas_backward_v4(qkv, logit_scale, bias_packed, mask, g_out,
+                        num_heads, interpret):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    nH = num_heads
+    Dh = C // nH
+    _, Np, _, HG, nG, _ = attention_plan(N, nH, Dh, C)
+    CG = HG * Dh
+
+    BQ = 8
+    for d in range(8, Np + 1, 8):
+        if Np % d == 0 and _cell_vmem_bwd_v4(d, Np, HG) <= _VMEM_BUDGET_BWD:
+            BQ = d
+    nQ = Np // BQ
+
+    ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
+    qkv = _pad_rows(qkv, Np)
+    g_out = _pad_rows(g_out, Np)
+
+    ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qt_spec = pl.BlockSpec((1, BQ, CG), lambda g, iq, b: (b, iq, g))
+    k_spec = pl.BlockSpec((1, Np, CG), lambda g, iq, b: (b, 0, nG + g))
+    v_spec = pl.BlockSpec((1, Np, CG), lambda g, iq, b: (b, 0, 2 * nG + g))
+    bias_spec = pl.BlockSpec((1, BQ, HG * Np), lambda g, iq, b: (g, iq, 0))
+    in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec]
+    args = [ls2, qkv, qkv, qkv, bias_packed]
+
+    if mask is not None:
+        nW = mask.shape[0]
+        if mask.shape[1] != Np:
+            mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
+                                  (0, Np - mask.shape[2])))
+        in_specs.append(pl.BlockSpec((1, BQ, Np),
+                                     lambda g, iq, b: (b % nW, iq, 0)))
+        args.append(mask)
+        body = functools.partial(_bwd_body_v4, hg=HG, dh=Dh, np_=Np)
+    else:
+        def body(ls, qt, k, v, bias, gt, dq, dkp, dvp, dbias, dls):
+            _bwd_body_v4(ls, qt, k, v, bias, None, gt, dq, dkp, dvp,
+                         dbias, dls, hg=HG, dh=Dh, np_=Np)
+    in_specs.append(qt_spec)                # g tile
+    args.append(g_out)
+
+    gdt = qkv.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dq
+        jax.ShapeDtypeStruct((nQ, B, Np, C), gdt),              # dkn partials
+        jax.ShapeDtypeStruct((nQ, B, Np, C), gdt),              # dv partials
+        jax.ShapeDtypeStruct(bias_packed.shape, jnp.float32),   # dbias
+        jax.ShapeDtypeStruct((nH, 128), jnp.float32),           # dls
+    )
+    out_specs = (
+        pl.BlockSpec((1, BQ, CG), lambda g, iq, b: (b, iq, g)),
+        pl.BlockSpec((1, 1, Np, CG), lambda g, iq, b: (iq, b, 0, g)),
+        pl.BlockSpec((1, 1, Np, CG), lambda g, iq, b: (iq, b, 0, g)),
+        pl.BlockSpec((1, BQ, HG * Np), lambda g, iq, b: (g, iq, 0)),
+        pl.BlockSpec((nH, 128), lambda g, iq, b: (0, 0)),
+    )
+
+    dq, dkp, dvp, dbias, dls = pl.pallas_call(
+        body,
+        grid=(nG, nQ, B),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        if not interpret else None,
+    )(*args)
+
+    dv = jnp.sum(dvp.astype(jnp.float32), axis=0)
+    dkn = jnp.sum(dkp.astype(jnp.float32), axis=0)
+    # k-normalize VJP, moved out of the kernel: dk = rk*(dkn - kn<dkn,kn>)
+    k = qkv[:, :, C:2 * C].astype(jnp.float32).reshape(B, Np, nH, Dh)
+    dkn = dkn.reshape(B, Np, nH, Dh)
+    rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+    kn = k * rk
+    dk = rk * (dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True))
+
+    dqkv = jnp.concatenate(
+        [dq, dk.reshape(B, Np, C).astype(gdt),
+         dv.astype(gdt)], axis=-1)[:, :N]
+    dls_out = dls[:, 0].reshape(logit_scale.shape).astype(logit_scale.dtype)
+    return dqkv, dls_out, dbias.astype(bias_packed.dtype)
+
+
 def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
                      interpret):
     B, N, C3 = qkv.shape
@@ -441,22 +661,26 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _packed_op(qkv, logit_scale, bias_packed, mask, num_heads, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _packed_op(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
+               grid_mode):
     return _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                           interpret)
+                           interpret, grid_mode)
 
 
-def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret):
+def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
+                grid_mode):
     out = _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                          interpret)
+                          interpret, grid_mode)
     return out, (qkv, logit_scale, bias_packed, mask)
 
 
-def _packed_bwd(num_heads, interpret, res, g):
+def _packed_bwd(num_heads, interpret, grid_mode, res, g):
     qkv, logit_scale, bias_packed, mask = res
-    dqkv, dls, dbias = _pallas_backward(qkv, logit_scale, bias_packed, mask,
-                                        g, num_heads, interpret)
+    bwd = _pallas_backward_v4 if grid_mode == "bias_resident" \
+        else _pallas_backward
+    dqkv, dls, dbias = bwd(qkv, logit_scale, bias_packed, mask,
+                           g, num_heads, interpret)
     return dqkv, dls, dbias, None
 
 
@@ -468,14 +692,21 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
                                    bias_packed: jnp.ndarray,
                                    mask: Optional[jnp.ndarray] = None,
                                    *, num_heads: int,
-                                   interpret: Optional[bool] = None):
+                                   interpret: Optional[bool] = None,
+                                   grid_mode: Optional[str] = None):
     """Fused packed-layout cosine window attention.
 
     qkv: (B_, N, 3C) as produced by the qkv Dense (+q/v bias); bias_packed:
     (nG, Np, HG*Np) from `pack_rpe_bias`; returns (B_, N, C). Falls back to
     interpret mode off-TPU so tests exercise the kernel logic on CPU.
+
+    grid_mode: "window_resident" (v2 grid) or "bias_resident" (v4 grid —
+    in-kernel fp32 dbias, no ds dump; see _pallas_forward/_bwd_body_v4).
+    Defaults to DEFAULT_GRID_MODE.
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if grid_mode is None:
+        grid_mode = DEFAULT_GRID_MODE
     return _packed_op(qkv, logit_scale, bias_packed, mask, num_heads,
-                      interpret)
+                      interpret, grid_mode)

@@ -43,43 +43,51 @@ def _xla_ref(qkv, ls, bias_nnh, mask, nH):
     return out.transpose(0, 2, 1, 3).reshape(B, N, nH * Dh)
 
 
-def _packed(qkv, ls, bias_nnh, mask, nH):
+def _packed(qkv, ls, bias_nnh, mask, nH, grid_mode=None):
     C = qkv.shape[-1] // 3
     Dh = C // nH
     _, Np, _, HG, nG, _ = attention_plan(qkv.shape[1], nH, Dh, C)
     bp = pack_rpe_bias(bias_nnh, nG, HG, Np)
-    return cosine_window_attention_packed(qkv, ls, bp, mask, num_heads=nH)
+    return cosine_window_attention_packed(qkv, ls, bp, mask, num_heads=nH,
+                                          grid_mode=grid_mode)
 
 
+GRIDS = ["window_resident", "bias_resident"]
+
+
+@pytest.mark.parametrize("grid", GRIDS)
 @pytest.mark.parametrize("with_mask", [False, True])
 @pytest.mark.parametrize("n", [36, 49])
-def test_forward_matches_xla(with_mask, n):
+def test_forward_matches_xla(with_mask, n, grid):
     qkv, ls, bias, mask = _make_inputs(N=n, with_mask=with_mask)
     want = _xla_ref(qkv, ls, bias, mask, nH=8)
-    got = _packed(qkv, ls, bias, mask, nH=8)
+    got = _packed(qkv, ls, bias, mask, nH=8, grid_mode=grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_forward_qtiled_padded():
+@pytest.mark.parametrize("grid", GRIDS)
+def test_forward_qtiled_padded(grid):
     # N=500 > max BQ candidate: forces q tiling with Np > N padding.
     qkv, ls, bias, mask = _make_inputs(B=2, nH=4, N=500, nW=2)
     plan = attention_plan(500, 4, 32, 128)
     assert plan is not None and plan[2] > 1 and plan[1] > 500
     want = _xla_ref(qkv, ls, bias, mask, nH=4)
-    got = _packed(qkv, ls, bias, mask, nH=4)
+    got = _packed(qkv, ls, bias, mask, nH=4, grid_mode=grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("grid", GRIDS)
 @pytest.mark.parametrize("with_mask", [False, True])
-def test_gradients_match_xla(with_mask):
+def test_gradients_match_xla(with_mask, grid):
     qkv, ls, bias, mask = _make_inputs(B=4, nH=4, N=49, nW=2,
                                        with_mask=with_mask)
     w = jax.random.normal(jax.random.PRNGKey(9), (49, 128), jnp.float32)
 
     def loss_packed(qkv, ls, bias):
-        return jnp.sum(_packed(qkv, ls, bias, mask, nH=4) * w[None])
+        return jnp.sum(_packed(qkv, ls, bias, mask, nH=4,
+                               grid_mode=grid) * w[None])
 
     def loss_xla(qkv, ls, bias):
         return jnp.sum(_xla_ref(qkv, ls, bias, mask, nH=4) * w[None])
@@ -95,11 +103,13 @@ def test_gradients_match_xla(with_mask):
                                    err_msg=name)
 
 
-def test_gradients_qtiled_padded():
+@pytest.mark.parametrize("grid", GRIDS)
+def test_gradients_qtiled_padded(grid):
     qkv, ls, bias, mask = _make_inputs(B=2, nH=4, N=500, nW=2)
 
     def loss_packed(qkv, ls, bias):
-        return jnp.sum(jnp.tanh(_packed(qkv, ls, bias, mask, nH=4)))
+        return jnp.sum(jnp.tanh(_packed(qkv, ls, bias, mask, nH=4,
+                                        grid_mode=grid)))
 
     def loss_xla(qkv, ls, bias):
         return jnp.sum(jnp.tanh(_xla_ref(qkv, ls, bias, mask, nH=4)))

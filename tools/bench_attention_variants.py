@@ -160,7 +160,59 @@ def _time(fn, *args, iters=30):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def bench_grids(keys):
+    """Time the PRODUCTION packed kernel fwd and fwd+bwd in both grid
+    orders (window_resident v2 vs bias_resident v4)."""
+    from mmde_tpu.ops.window_attention_packed import (
+        cosine_window_attention_packed)
+    dtype = jnp.bfloat16
+    for key in keys:
+        name, B, nH, N, C, nW = STAGES[key]
+        Dh = C // nH
+        plan = attention_plan(N, nH, Dh, C)
+        if plan is None:
+            print(f"{key}: no packed plan, skipped")
+            continue
+        _, Np, _, HG, nG, _ = plan
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        qkv = jax.random.normal(ks[0], (B, N, 3 * C), jnp.float32).astype(dtype)
+        ls = jnp.full((nH, 1, 1), 1.0, jnp.float32)
+        bias_nnh = jax.random.normal(ks[2], (N, N, nH), jnp.float32)
+        bias_packed = pack_rpe_bias(bias_nnh, nG, HG, Np).astype(dtype)
+        mask = None
+        if nW:
+            m = (jax.random.uniform(ks[3], (nW, N, N)) < 0.2)
+            mask = jnp.where(m, -100.0, 0.0).astype(dtype)
+
+        print(f"== {key} {name}: B_={B} nH={nH} N={N} C={C} "
+              f"mask={'y' if nW else 'n'}")
+        for gm in ("window_resident", "bias_resident"):
+            fwd = jax.jit(lambda q, l, b, m, gm=gm:
+                          cosine_window_attention_packed(
+                              q, l, b, m, num_heads=nH, grid_mode=gm))
+
+            def loss(q, l, b, m, gm=gm):
+                o = cosine_window_attention_packed(q, l, b, m,
+                                                   num_heads=nH, grid_mode=gm)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            try:
+                ms_f = _time(fwd, qkv, ls, bias_packed, mask)
+                ms_g = _time(lambda *a: gfn(*a)[0], qkv, ls,
+                             bias_packed, mask)
+                print(f"  {gm:16s}: fwd {ms_f:7.3f} ms   fwd+bwd "
+                      f"{ms_g:7.3f} ms")
+            except Exception as e:  # noqa: BLE001
+                print(f"  {gm:16s}: FAIL {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:160]}")
+
+
 def main():
+    if "grids" in sys.argv[1:]:
+        bench_grids([a for a in sys.argv[1:] if a in STAGES]
+                    or ["s1", "s2", "s3", "s4"])
+        return
     keys = [a for a in sys.argv[1:] if a in STAGES] or ["s1", "s3", "s4"]
     dtype = jnp.bfloat16
     for key in keys:

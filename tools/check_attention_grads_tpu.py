@@ -95,11 +95,21 @@ def lossmakers(B, nH, N, C, mask):
 
     def lpk(q, l, b):
         bp = pack_rpe_bias(b, nG, HG, Np)
-        out = cosine_window_attention_packed(q, l, bp, mask, num_heads=nH)
+        out = cosine_window_attention_packed(q, l, bp, mask, num_heads=nH,
+                                             grid_mode="window_resident")
+        return jnp.sum(jnp.tanh(out))
+
+    def lpk4(q, l, b):
+        # v4 bias-resident grid: in-kernel fp32 dbias accumulation over the
+        # innermost (consecutive-revisit) window axis — the pattern this
+        # audit exists to police on real hardware.
+        bp = pack_rpe_bias(b, nG, HG, Np)
+        out = cosine_window_attention_packed(q, l, bp, mask, num_heads=nH,
+                                             grid_mode="bias_resident")
         return jnp.sum(jnp.tanh(out))
 
     ws = int(round(N ** 0.5))
-    fns = {"xla": lx, "v1": lv1, "packed": lpk}
+    fns = {"xla": lx, "v1": lv1, "packed": lpk, "packed4": lpk4}
     if ws * ws == N:
         hg_ng = slab_plan(ws, ws, nH, Dh, C)
         if hg_ng is not None:
@@ -142,10 +152,22 @@ def main():
                          f"(missing {GT_PATH})")
     gt = np.load(GT_PATH)
     print(f"backend={jax.default_backend()}")
+    # optional filters: MMDE_AUDIT_CASES / MMDE_AUDIT_IMPLS (comma lists,
+    # substring match) — lets a kernel change re-audit only its own cases
+    # instead of paying every variant's tunnel compile.
+    case_f = [c for c in os.environ.get("MMDE_AUDIT_CASES", "").split(",")
+              if c]
+    impl_f = [c for c in os.environ.get("MMDE_AUDIT_IMPLS", "").split(",")
+              if c]
     failures = []
     for name, B, nH, N, C, nW in CASES:
+        if case_f and not any(c in name for c in case_f):
+            continue
         qkv, ls, bias, mask = make(B, nH, N, C, nW)
         fns = lossmakers(B, nH, N, C, mask)
+        if impl_f:
+            fns = {k: v for k, v in fns.items()
+                   if k == "xla" or any(c in k for c in impl_f)}
         rels = {}
         for lbl in fns:
             g = jax.jit(jax.grad(fns[lbl], argnums=(0, 1, 2)))(qkv, ls, bias)
