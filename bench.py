@@ -67,6 +67,8 @@ def main():
                           pretrain_window_size=(12, 12, 12, 6),
                           use_shift=(True, True, False, False),
                           drop_path_rate=0.3, use_checkpoint=True,
+                          scan_blocks=os.environ.get("MMDE_BENCH_SCAN",
+                                                     "0") == "1",
                           remat_policy=os.environ.get("MMDE_BENCH_REMAT",
                                                       "attn_out"))
         cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",

@@ -17,6 +17,17 @@ from mmde_tpu.config import ModelConfig
 from mmde_tpu.ckpt import torch_convert as tc
 
 
+def detect_scan_stages(swin_tree: dict):
+    """Stage indices whose param subtree uses the scanned (stacked) block
+    layout — i.e. `layers_{i}` contains `blocks_scan`."""
+    out = []
+    for k, v in swin_tree.items():
+        if k.startswith("layers_") and isinstance(v, dict) \
+                and "blocks_scan" in v:
+            out.append(int(k.split("_")[1]))
+    return sorted(out)
+
+
 def load_pretrained(params: dict, batch_stats: dict, cfg: ModelConfig,
                     path: str, rpe_interpolation: str = "geo",
                     verbose: bool = True) -> Tuple[dict, dict]:
@@ -37,6 +48,14 @@ def load_pretrained(params: dict, batch_stats: dict, cfg: ModelConfig,
         dst_windows = {i: w for i, w in enumerate(cfg.swin.window_size)}
         converted, report = tc.convert_swin(sd, dst_windows=dst_windows,
                                             rpe_interpolation=rpe_interpolation)
+        # scan_blocks models store stage blocks stacked (blocks_scan/block
+        # with a leading depth axis); converted checkpoints arrive in the
+        # unstacked blocks_{i} layout — restack for the stages the target
+        # tree actually scans.
+        scan_stages = detect_scan_stages(target_root[enc_key])
+        if scan_stages:
+            from mmde_tpu.nn.swin_v2 import to_scanned_layout
+            converted = to_scanned_layout(converted, scan_stages)
         merged, missing, unexpected = tc.apply_pretrained(
             jax.tree.map(lambda x: x, target_root[enc_key]), converted)
         target_root[enc_key] = merged

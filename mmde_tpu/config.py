@@ -35,6 +35,12 @@ class SwinConfig:
     # Gradients are stopped in the module AND the optimizer zeroes both the
     # Adam update and the weight decay for the frozen subtrees.
     frozen_stages: int = -1
+    # Collapse identical shift-free stage blocks into one nn.scan body
+    # (stage 3's 18 blocks compile as ONE block): ~3x smaller train-step
+    # HLO, unlocks large-batch compiles. Param layout changes to
+    # blocks_scan/block/** with a leading (depth,) axis — see
+    # swin_v2.to_scanned_layout for checkpoint conversion.
+    scan_blocks: bool = False
 
 
 @dataclass(frozen=True)

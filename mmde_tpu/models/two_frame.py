@@ -110,6 +110,7 @@ def _build_encoder(cfg: ModelConfig, dtype) -> nn.Module:
             drop_path_rate=s.drop_path_rate,
             use_checkpoint=s.use_checkpoint,
             remat_policy=s.remat_policy,
+            scan_blocks=s.scan_blocks,
             frozen_stages=s.frozen_stages,
             attn_impl=resolve_attn_impl(cfg),
             dtype=dtype, name="encoder")

@@ -57,17 +57,21 @@ class DropPath(nn.Module):
     window_groups: int = 1
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if deterministic or self.rate == 0.0:
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        """`rate` overrides the static attribute with a (possibly traced)
+        scalar — used by the scanned-blocks path, where the per-block
+        stochastic-depth rate is a lax.scan per-iteration input and so
+        cannot be a static module attribute."""
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
+        r = self.rate if rate is None else rate
         rng = self.make_rng("droppath")
         g = self.window_groups
-        if g <= 1:
-            return drop_path(x, self.rate, False, rng)
-        keep = 1.0 - self.rate
-        shape = (x.shape[0] // g,) + (1,) * (x.ndim - 1)
+        keep = 1.0 - r
+        shape = (x.shape[0] // max(g, 1),) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
-        mask = jnp.repeat(mask, g, axis=0)
+        if g > 1:
+            mask = jnp.repeat(mask, g, axis=0)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

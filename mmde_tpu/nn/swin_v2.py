@@ -335,15 +335,17 @@ class SwinBlock(nn.Module):
     num_windows: int = 1                    # nW per sample (windows layout)
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray]):
+    def __call__(self, x, mask: Optional[jnp.ndarray], dp_rate=None):
         deterministic = self.deterministic
         ws, ss = self.window_size, self.shift_size
 
         if self.layout == "windows":
             # the stage applies any cyclic shift via window_roll; the block
-            # itself only needs the (possibly None) SW-MSA mask
+            # itself only needs the (possibly None) SW-MSA mask. dp_rate
+            # optionally overrides drop_path_rate with a traced scalar
+            # (scanned-blocks path).
             assert ss == 0, "windows layout requires shift_size=0"
-            return self._windows_body(x, mask, deterministic)
+            return self._windows_body(x, mask, deterministic, dp_rate)
 
         B, H, W, C = x.shape
 
@@ -437,7 +439,7 @@ class SwinBlock(nn.Module):
             x = LayerNormFP32(name="enorm")(x)
         return x
 
-    def _windows_body(self, x, mask, deterministic):
+    def _windows_body(self, x, mask, deterministic, dp_rate=None):
         """Block body on already-partitioned (B*nW, N, C) input: identical
         math and parameter structure to the map path, minus the pad / roll /
         partition / reverse bookkeeping (all removed ops are layout moves,
@@ -462,7 +464,8 @@ class SwinBlock(nn.Module):
         x = attn_mod(x, mask)
         x = checkpoint_name(x, "swin_attn_out")
 
-        dp = DropPath(self.drop_path_rate, window_groups=self.num_windows)
+        dpm = DropPath(self.drop_path_rate, window_groups=self.num_windows)
+        dp = lambda v, det: dpm(v, det, rate=dp_rate)  # noqa: E731
         if self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
             x = shortcut + dp(x, deterministic)
@@ -641,6 +644,52 @@ def window_roll(xw: jnp.ndarray, ws: int, ss: int, h_wins: int, w_wins: int,
     return x6.reshape(B_, N, C)
 
 
+class _ScanBlockCell(nn.Module):
+    """lax.scan cell: one windows-layout SwinBlock whose stochastic-depth
+    rate arrives as a per-iteration input (`rates[i]`) instead of a static
+    attribute. Scanning D identical blocks collapses D copies of the block
+    graph into ONE compiled body — at flagship stage 3 (18 blocks) this
+    shrinks the train-step HLO ~3x, which is what the remote compile helper
+    chokes on at batch 16 (docs/PERF.md). Param tree: blocks under this
+    cell get a leading (D,) axis (flax nn.scan variable_axes)."""
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    postnorm: bool = True
+    init_values: Optional[float] = None
+    use_mlp_norm: bool = False
+    attn_type: str = "cosine_mh"
+    rpe_table_type: str = "norm8_log_bylayer"
+    rpe_hidden_dim: int = 512
+    rpe_output_type: str = "sigmoid"
+    pretrain_window_size: int = -1
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+    deterministic: bool = True
+    num_windows: int = 1
+
+    @nn.compact
+    def __call__(self, x, rate):
+        x = SwinBlock(
+            dim=self.dim, num_heads=self.num_heads,
+            window_size=self.window_size, shift_size=0,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            drop_path_rate=0.0, postnorm=self.postnorm,
+            init_values=self.init_values, use_mlp_norm=self.use_mlp_norm,
+            endnorm=False, attn_type=self.attn_type,
+            rpe_table_type=self.rpe_table_type,
+            rpe_hidden_dim=self.rpe_hidden_dim,
+            rpe_output_type=self.rpe_output_type,
+            pretrain_window_size=self.pretrain_window_size,
+            mlpfp32=False, attn_impl=self.attn_impl, dtype=self.dtype,
+            deterministic=self.deterministic, layout="windows",
+            num_windows=self.num_windows, name="block",
+        )(x, None, dp_rate=rate)
+        return x, ()
+
+
 class BasicLayer(nn.Module):
     """One Swin stage: blocks (alternating shift) + optional downsample
     (ref :750-915). The SW-MSA mask is a trace-time numpy constant."""
@@ -667,6 +716,11 @@ class BasicLayer(nn.Module):
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
     remat_policy: str = "full"
+    # Collapse identical shift-free blocks into one nn.scan body (see
+    # _ScanBlockCell). Changes the param tree (blocks_scan/block/** with a
+    # leading (depth,) axis instead of blocks_0..blocks_{D-1}/**) — use
+    # to_scanned_layout/from_scanned_layout to convert checkpoints.
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -691,23 +745,65 @@ class BasicLayer(nn.Module):
             n_win = h_wins * w_wins
             x = window_partition(x, ws)                  # (B*nW, N, C)
 
-        block_cls = SwinBlock
-        if self.use_checkpoint:
+        def remat_wrap(cls):
+            if not self.use_checkpoint:
+                return cls
             if self.remat_policy == "attn_out":
-                block_cls = nn.remat(
-                    SwinBlock,
+                return nn.remat(
+                    cls,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "swin_attn_out"))
-            elif self.remat_policy == "attn_qkv":
+            if self.remat_policy == "attn_qkv":
                 # also saves the qkv projection: the attention custom-VJP's
                 # residual, so the backward skips the qkv Dense + window
                 # partition recompute at ~45 MB/block (bf16 swin-base s3)
-                block_cls = nn.remat(
-                    SwinBlock,
+                return nn.remat(
+                    cls,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "swin_attn_out", "swin_qkv"))
-            else:
-                block_cls = nn.remat(SwinBlock)
+            return nn.remat(cls)
+
+        block_cls = remat_wrap(SwinBlock)
+
+        scannable = (self.scan_blocks and windows_resident
+                     and not self.use_shift and self.endnorm_interval <= 0
+                     and not any(0 <= b < self.depth
+                                 for b in self.mlpfp32_blocks)
+                     and self.depth >= 2)
+        if scannable:
+            rates = jnp.asarray(
+                [self.drop_path_rates[i] if i < len(self.drop_path_rates)
+                 else 0.0 for i in range(self.depth)], jnp.float32)
+            Scan = nn.scan(
+                remat_wrap(_ScanBlockCell),
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "droppath": True,
+                            "dropout": True},
+                in_axes=0, length=self.depth)
+            x, _ = Scan(
+                dim=C, num_heads=self.num_heads, window_size=ws,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                postnorm=self.postnorm, init_values=self.init_values,
+                use_mlp_norm=self.use_mlp_norm, attn_type=self.attn_type,
+                rpe_table_type=self.rpe_table_type,
+                rpe_hidden_dim=self.rpe_hidden_dim,
+                rpe_output_type=self.rpe_output_type,
+                pretrain_window_size=self.pretrain_window_size,
+                attn_impl=self.attn_impl, dtype=self.dtype,
+                deterministic=deterministic, num_windows=n_win,
+                name="blocks_scan")(x, rates)
+            x = window_reverse(x, ws, H, W)
+            x_out = x
+            if self.downsample == "merge":
+                x = PatchMerging(postnorm=self.postnorm, dtype=self.dtype,
+                                 name="downsample")(x)
+            elif self.downsample == "reduce1c":
+                x = PatchReduction1C(postnorm=self.postnorm,
+                                     dtype=self.dtype, name="downsample")(x)
+            elif self.downsample == "conv":
+                x = ConvPatchMerging(postnorm=self.postnorm,
+                                     dtype=self.dtype, name="downsample")(x)
+            return x_out, x
 
         for i in range(self.depth):
             shift = 0 if (i % 2 == 0 or not self.use_shift) else ss
@@ -787,6 +883,7 @@ class SwinTransformerV2(nn.Module):
     pretrain_img_size: int = 224
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
+    scan_blocks: bool = False               # see BasicLayer.scan_blocks
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -867,6 +964,7 @@ class SwinTransformerV2(nn.Module):
                 postnorm=self.postnorm,
                 pretrain_window_size=self.pretrain_window_size[i],
                 attn_impl=self.attn_impl, dtype=self.dtype,
+                scan_blocks=self.scan_blocks,
                 name=f"layers_{i}",
             )(x, deterministic)
 
@@ -880,3 +978,53 @@ class SwinTransformerV2(nn.Module):
                 outs.append(y)
 
         return outs
+
+
+# ---------------------------------------------------------------------------
+# Scanned-blocks layout conversion (checkpoints / torch converts are stored
+# in the unstacked blocks_{i} layout; scan_blocks=True models store stage
+# blocks as blocks_scan/block/** with a leading (depth,) axis).
+# ---------------------------------------------------------------------------
+
+def to_scanned_layout(swin_params, scan_stages):
+    """Stack `layers_{i}/blocks_{j}/**` into `layers_{i}/blocks_scan/block/**`
+    (leading axis = depth) for every stage index in `scan_stages`.
+
+    `swin_params`: the SwinTransformerV2 param subtree (children layers_*).
+    Returns a new dict; input is not mutated.
+    """
+    import flax
+    out = dict(flax.core.unfreeze(swin_params))
+    for si in scan_stages:
+        key = f"layers_{si}"
+        if key not in out:
+            continue
+        stage = dict(out[key])
+        names = sorted((k for k in stage if k.startswith("blocks_")
+                        and k != "blocks_scan"),
+                       key=lambda k: int(k.split("_")[1]))
+        if not names:
+            continue
+        subtrees = [stage.pop(n) for n in names]
+        stage["blocks_scan"] = {
+            "block": jax.tree.map(lambda *xs: jnp.stack(xs, 0), *subtrees)}
+        out[key] = stage
+    return out
+
+
+def from_scanned_layout(swin_params):
+    """Inverse of `to_scanned_layout` for every stage that has a
+    blocks_scan subtree."""
+    import flax
+    out = dict(flax.core.unfreeze(swin_params))
+    for key in list(out):
+        if key.startswith("layers_") and isinstance(out[key], dict) \
+                and "blocks_scan" in out[key]:
+            stage = dict(out[key])
+            stacked = stage.pop("blocks_scan")["block"]
+            depth = jax.tree.leaves(stacked)[0].shape[0]
+            for i in range(depth):
+                stage[f"blocks_{i}"] = jax.tree.map(
+                    lambda x, i=i: x[i], stacked)
+            out[key] = stage
+    return out

@@ -69,6 +69,10 @@ def swin_layer_id(path: Tuple[str, ...], layers_per_stage: Sequence[int],
         if p.startswith("layers_"):
             stage = int(p.split("_")[1])
             rest = parts[i + 1:]
+            if rest and rest[0] == "blocks_scan":
+                # scanned stage: one leaf covers ALL blocks (leading axis
+                # = block index); the caller builds a per-block vector
+                return ("scan", 1 + sum(layers_per_stage[:stage]))
             if rest and rest[0].startswith("blocks_"):
                 block = int(rest[0].split("_")[1])
                 return 1 + block + sum(layers_per_stage[:stage])
@@ -84,16 +88,23 @@ def build_layer_scales(params, depths: Sequence[int], layer_decay_rate: float):
     num_layers = sum(layers_per_stage) + 2   # + patch embed, head
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
-    def scale_of(path):
+    def scale_of(path, leaf):
         keys = tuple(getattr(k, "key", getattr(k, "idx", str(k)))
                      for k in path)
         lid = swin_layer_id(keys, layers_per_stage, num_layers)
+        if isinstance(lid, tuple):          # scanned stage: leading axis
+            base = lid[1]                   # = block index within the stage
+            depth = leaf.shape[0]
+            vec = jnp.asarray(
+                [layer_decay_rate ** (num_layers - (base + j) - 1)
+                 for j in range(depth)], jnp.float32)
+            return vec.reshape((depth,) + (1,) * (leaf.ndim - 1))
         return layer_decay_rate ** (num_layers - lid - 1)
 
-    scales = {jax.tree_util.keystr(p): scale_of(p) for p, _ in flat}
+    scales = {jax.tree_util.keystr(p): scale_of(p, l) for p, l in flat}
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params),
-        [scale_of(p) for p, _ in flat]), scales
+        [scale_of(p, l) for p, l in flat]), scales
 
 
 def weight_decay_mask(params):
@@ -103,7 +114,10 @@ def weight_decay_mask(params):
 
     def decay(path, leaf):
         keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
-        if leaf.ndim <= 1:
+        # scanned-stage leaves carry a leading (depth,) block axis that
+        # does not count toward the parameter's own rank
+        ndim = leaf.ndim - 1 if "blocks_scan" in keys else leaf.ndim
+        if ndim <= 1:
             return False
         if any(nd in k for nd in NO_DECAY_NAMES for k in keys):
             return False
