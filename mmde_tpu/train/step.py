@@ -17,7 +17,8 @@ import optax
 from flax import struct, core
 
 from mmde_tpu.losses import total_loss
-from mmde_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from mmde_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
+                                    replicated_sharding)
 
 
 class TrainState(struct.PyTreeNode):
@@ -50,12 +51,25 @@ def init_model(model, rng, sample_batch, train: bool = False):
 
 def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
                     lambda_trans: float, silog_lambda: float = 0.5,
-                    donate: bool = True, mesh=None):
+                    donate: bool = True, mesh=None,
+                    fused_collectives: bool = True):
     """Build the jitted train step.
 
     step(state, batch) -> (new_state, metrics dict of scalars)
     batch keys: image1, image2 (B,H,W,3), depth1, depth2 (B,H,W),
     R12, T12 [, R21, T21].
+
+    Under a mesh, two data-parallel lowerings:
+      fused_collectives=True (default): shard_map body with ONE variadic
+        pmean over (grads, aux, batch_stats). Batch-statistics ops (BN)
+        normalize per shard — the reference torch-DataParallel semantics
+        (train.py:93-97) — and per-shard masked-mean losses are averaged.
+      fused_collectives=False: GSPMD jit with sharding annotations: XLA
+        computes global-batch BN/losses exactly but emits one all-reduce
+        per gradient tensor (~300 at flagship depth; fine on ICI, hours on
+        an oversubscribed virtual-CPU mesh).
+    Swin-family models (no BN) are numerically equivalent either way up to
+    reduction order.
     """
 
     def loss_fn(params, batch_stats, batch, rngs):
@@ -74,12 +88,27 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
                                silog_lambda=silog_lambda)
         return loss, (aux, mutations.get("batch_stats", batch_stats))
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, shard_idx=None):
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if shard_idx is not None:
+            # distinct dropout/drop-path bits per data shard — without this
+            # every shard would draw the same mask for its local rows
+            step_rng = jax.random.fold_in(step_rng, shard_idx)
         rngs = {"dropout": jax.random.fold_in(step_rng, 0),
                 "droppath": jax.random.fold_in(step_rng, 1)}
         grads, (aux, new_bs) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rngs)
+        if shard_idx is not None:
+            # ONE fused cross-shard reduction for the whole step: psum of a
+            # pytree binds every leaf into a single variadic all-reduce.
+            # Under GSPMD this step instead compiles to one all-reduce PER
+            # grad tensor (~300 at flagship depth); XLA CPU never combines
+            # them, and on an oversubscribed host each barrier costs
+            # minutes (each rendezvous blocks the shared thunk pool) — the
+            # virtual-device dryrun only completes with the fused form. On
+            # TPU the fused form is also fewer, larger ICI transfers.
+            grads, aux, new_bs = jax.lax.pmean(
+                (grads, aux, new_bs), DATA_AXIS)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
@@ -89,12 +118,28 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
     kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
-    if mesh is not None:
+    if mesh is None:
+        return jax.jit(train_step, **kwargs)
+
+    if not fused_collectives:
         rep = replicated_sharding(mesh)
         dat = batch_sharding(mesh)
         kwargs["in_shardings"] = (rep, dat)
         kwargs["out_shardings"] = (rep, rep)
-    return jax.jit(train_step, **kwargs)
+        return jax.jit(train_step, **kwargs)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def sharded_step(state, batch):
+        return train_step(state, batch,
+                          shard_idx=jax.lax.axis_index(DATA_AXIS))
+
+    body = shard_map(sharded_step, mesh=mesh,
+                     in_specs=(P(), P(DATA_AXIS)),
+                     out_specs=(P(), P()),
+                     check_rep=False)
+    return jax.jit(body, **kwargs)
 
 
 def make_eval_step(model, *, decoder: str, lambda_rot: float,

@@ -101,9 +101,13 @@ class TestDataParallel:
                                 donate=False)
         mesh = make_mesh(8)
         from mmde_tpu.parallel.mesh import replicated_sharding
+        # exact parity needs global-batch BN statistics -> GSPMD lowering
+        # (the fused shard_map path normalizes BN per shard, the torch
+        # DataParallel semantics; see test_fused_mesh_matches_single_swin)
         stepN = make_train_step(model, tx, decoder=cfg.decoder,
                                 lambda_rot=100.0, lambda_trans=100.0,
-                                donate=False, mesh=mesh)
+                                donate=False, mesh=mesh,
+                                fused_collectives=False)
         s1, aux1 = step1(state, batch)
         sN, auxN = stepN(jax.device_put(state, replicated_sharding(mesh)),
                          shard_batch(batch, mesh))
@@ -129,3 +133,60 @@ class TestSchedule:
                              (min_lr - max_lr) * (gs / iters / half - 1) ** 0.9
                              + max_lr)
             assert np.isclose(float(sched(count)), expect, rtol=1e-5), count
+
+
+def test_fused_mesh_matches_single_swin():
+    """The fused shard_map lowering (one variadic pmean) must reproduce the
+    single-device step exactly when per-shard batch statistics equal the
+    global ones. The decoder has BatchNorm (per-shard stats under shard_map
+    = torch DataParallel semantics, reference train.py:93-97), so the batch
+    here is ONE sample repeated 8x: every shard computes identical BN
+    stats/losses/grads and the fused pmean must equal the single-device
+    step up to reduction order."""
+    from mmde_tpu.config import ModelConfig, SwinConfig
+
+    # smallest swin family member: 3 stages (model_scale 16), depth 1 each
+    # — this test costs two full train-step compiles, minutes each on a
+    # small host (cached in .jax_cache after the first run)
+    swin = SwinConfig(depths=(1, 1, 1, 1), window_size=(4, 4, 2, 2),
+                      pretrain_window_size=(4, 4, 2, 2),
+                      use_shift=(True, True, False, False),
+                      drop_path_rate=0.0)
+    cfg = ModelConfig(backbone="swin_tiny_v2", decoder="decoder_v2",
+                      model_scale=16, max_depth=10.0, swin=swin,
+                      use_pallas_attention=False)
+    model = build_model(cfg)
+    one = make_batch(batch_size=1, H=32, W=32)
+    batch = jax.tree.map(
+        lambda x: jnp.repeat(jnp.asarray(x), 8, axis=0)
+        if getattr(x, "ndim", 0) >= 1 else jnp.asarray(x), one)
+    params, bstats = init_model(model, jax.random.PRNGKey(0), batch)
+    tx, _ = build_optimizer(params, backbone=cfg.backbone,
+                            depths=cfg.swin.depths, max_lr=5e-4, min_lr=3e-5,
+                            weight_decay=0.05, layer_decay=0.9,
+                            steps_per_epoch=10, epochs=25)
+    state = TrainState.create(params, bstats, tx, jax.random.PRNGKey(1))
+
+    step1 = make_train_step(model, tx, decoder=cfg.decoder, lambda_rot=100.0,
+                            lambda_trans=100.0, donate=False)
+    mesh = make_mesh(8)
+    from mmde_tpu.parallel.mesh import replicated_sharding
+    stepN = make_train_step(model, tx, decoder=cfg.decoder, lambda_rot=100.0,
+                            lambda_trans=100.0, donate=False, mesh=mesh)
+    s1, aux1 = step1(state, batch)
+    sN, auxN = stepN(jax.device_put(state, replicated_sharding(mesh)),
+                     shard_batch(batch, mesh))
+    # The depth path is deterministic, so its loss must match exactly. The
+    # pose head applies Dropout(0.5) in train mode (ref decoder_v2.py:8-20)
+    # and each shard intentionally draws its own rng (fold_in(axis_index)),
+    # so pose losses/params CANNOT match the single-device draw — assert
+    # finiteness and replication for those instead.
+    np.testing.assert_allclose(float(aux1["loss_depth"]),
+                               float(auxN["loss_depth"]), rtol=2e-4)
+    assert np.isfinite(float(auxN["loss_total"]))
+    pN = jax.tree.leaves(sN.params)[0]
+    assert np.isfinite(np.asarray(pN)).all()
+    # replicated output state: every device holds the same bytes
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(pN)),
+        np.asarray(jax.device_get(jax.device_put(pN))))
