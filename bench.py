@@ -70,7 +70,9 @@ def main():
                           scan_blocks=os.environ.get("MMDE_BENCH_SCAN",
                                                      "0") == "1",
                           remat_policy=os.environ.get("MMDE_BENCH_REMAT",
-                                                      "attn_out"))
+                                                      "attn_out"),
+                          resident_pad_max=float(os.environ.get(
+                              "MMDE_BENCH_RESPAD", "0.15")))
         cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",
                           model_scale=32, max_depth=10.0, swin=swin,
                           dtype="bfloat16")

@@ -41,6 +41,14 @@ class SwinConfig:
     # blocks_scan/block/** with a leading (depth,) axis — see
     # swin_v2.to_scanned_layout for checkpoint conversion.
     scan_blocks: bool = False
+    # Max padded-token fraction at which a stage still runs window-resident
+    # (pad once per stage + per-block pad_keep_mask re-zeroing) instead of
+    # per-block pad/partition/reverse/slice. Residency on padded maps runs
+    # MLP/LN over pad tokens too, so it trades FLOPs for transposes: at
+    # 480x640 stage 3/4 pad 50% and residency LOSES (measured -3.7% e2e)
+    # while stages 1/2 at 12.5% pad WIN (8.00 -> 8.10 img/s/chip).
+    # 0.0 = resident only on divisible maps (always profitable).
+    resident_pad_max: float = 0.15
 
 
 @dataclass(frozen=True)

@@ -111,6 +111,7 @@ def _build_encoder(cfg: ModelConfig, dtype) -> nn.Module:
             use_checkpoint=s.use_checkpoint,
             remat_policy=s.remat_policy,
             scan_blocks=s.scan_blocks,
+            resident_pad_max=s.resident_pad_max,
             frozen_stages=s.frozen_stages,
             attn_impl=resolve_attn_impl(cfg),
             dtype=dtype, name="encoder")

@@ -154,6 +154,24 @@ def shifted_window_mask(Hp: int, Wp: int, ws: int, ss: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def pad_keep_mask(H: int, W: int, Hp: int, Wp: int, ws: int,
+                  ss: int = 0) -> np.ndarray:
+    """(nW, N, 1) multiplicative 1/0 mask marking REAL (non-pad) tokens of a
+    padded (Hp, Wp) map in window-partitioned layout, optionally after a
+    cyclic (-ss, -ss) roll. Window-resident stages multiply each block's
+    attention input by this to reproduce the map path's fresh zero padding
+    (ref pads per block, swin_transformer_v2.py:429-434): with zero pad
+    rows, qkv(pad) = the Dense bias — exactly the bytes the reference's
+    attention sees — while resident pad rows would otherwise drift."""
+    keep = np.zeros((Hp, Wp), dtype=np.float32)
+    keep[:H, :W] = 1.0
+    if ss:
+        keep = np.roll(keep, (-ss, -ss), axis=(0, 1))
+    k = keep.reshape(Hp // ws, ws, Wp // ws, ws)
+    k = k.transpose(0, 2, 1, 3).reshape(-1, ws * ws, 1)
+    return k
+
+
 # ---------------------------------------------------------------------------
 # Modules
 # ---------------------------------------------------------------------------
@@ -335,7 +353,8 @@ class SwinBlock(nn.Module):
     num_windows: int = 1                    # nW per sample (windows layout)
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray], dp_rate=None):
+    def __call__(self, x, mask: Optional[jnp.ndarray], dp_rate=None,
+                 pad_mask: Optional[jnp.ndarray] = None):
         deterministic = self.deterministic
         ws, ss = self.window_size, self.shift_size
 
@@ -343,9 +362,11 @@ class SwinBlock(nn.Module):
             # the stage applies any cyclic shift via window_roll; the block
             # itself only needs the (possibly None) SW-MSA mask. dp_rate
             # optionally overrides drop_path_rate with a traced scalar
-            # (scanned-blocks path).
+            # (scanned-blocks path). pad_mask (non-divisible maps) re-zeroes
+            # pad tokens at the attention input — see pad_keep_mask.
             assert ss == 0, "windows layout requires shift_size=0"
-            return self._windows_body(x, mask, deterministic, dp_rate)
+            return self._windows_body(x, mask, deterministic, dp_rate,
+                                      pad_mask)
 
         B, H, W, C = x.shape
 
@@ -439,16 +460,25 @@ class SwinBlock(nn.Module):
             x = LayerNormFP32(name="enorm")(x)
         return x
 
-    def _windows_body(self, x, mask, deterministic, dp_rate=None):
+    def _windows_body(self, x, mask, deterministic, dp_rate=None,
+                      pad_mask=None):
         """Block body on already-partitioned (B*nW, N, C) input: identical
         math and parameter structure to the map path, minus the pad / roll /
         partition / reverse bookkeeping (all removed ops are layout moves,
         not arithmetic). `mask` is the SW-MSA mask when the stage rolled the
-        windows before this block."""
+        windows before this block. `pad_mask` (nW, N, 1) zeroes pad tokens
+        right before attention — the exact point where the map path's fresh
+        zero padding sits (post-norm: raw block input; pre-norm: after
+        norm1) — so resident stages on padded maps match the map path
+        bit-for-bit at real token positions."""
         C = x.shape[-1]
         shortcut = x
         if not self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
+        if pad_mask is not None:
+            nw = pad_mask.shape[0]
+            xb = x.reshape(-1, nw, x.shape[1], C)
+            x = (xb * pad_mask.astype(xb.dtype)).reshape(x.shape)
 
         attn_mod = WindowAttention(
             dim=C, window_size=(self.window_size, self.window_size),
@@ -671,7 +701,7 @@ class _ScanBlockCell(nn.Module):
     num_windows: int = 1
 
     @nn.compact
-    def __call__(self, x, rate):
+    def __call__(self, x, rate, pad_mask=None):
         x = SwinBlock(
             dim=self.dim, num_heads=self.num_heads,
             window_size=self.window_size, shift_size=0,
@@ -686,7 +716,7 @@ class _ScanBlockCell(nn.Module):
             mlpfp32=False, attn_impl=self.attn_impl, dtype=self.dtype,
             deterministic=self.deterministic, layout="windows",
             num_windows=self.num_windows, name="block",
-        )(x, None, dp_rate=rate)
+        )(x, None, dp_rate=rate, pad_mask=pad_mask)
         return x, ()
 
 
@@ -721,6 +751,12 @@ class BasicLayer(nn.Module):
     # leading (depth,) axis instead of blocks_0..blocks_{D-1}/**) — use
     # to_scanned_layout/from_scanned_layout to convert checkpoints.
     scan_blocks: bool = False
+    # Residency on a padded map runs LN/MLP over pad tokens (the map path
+    # pays padding only inside attention), trading FLOPs for the per-block
+    # partition/reverse transposes. Allow it only up to this pad fraction;
+    # 0.0 = divisible maps only (measured: full residency at 480x640 is
+    # -3.7% e2e because stage 3/4 pad 50%). See SwinConfig.resident_pad_max.
+    resident_pad_max: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -732,17 +768,28 @@ class BasicLayer(nn.Module):
         mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, ss)) \
             if (self.use_shift and self.depth > 1) else None
 
-        # Stages on window-aligned maps run WINDOW-RESIDENT: partition once
-        # here, keep every block in (B*nW, N, C), reverse once at the end —
-        # instead of a partition + reverse transpose pair per block. Cyclic
-        # shifts for SW-MSA blocks are applied in window layout by
-        # `window_roll` (quadrant concatenation). The slab kernel reads the
-        # map directly, so it keeps the per-block path.
-        windows_resident = (H % ws == 0 and W % ws == 0
-                            and self.attn_impl != "pallas_slab")
+        # Stages run WINDOW-RESIDENT: pad + partition once here, keep every
+        # block in (B*nW, N, C), reverse + slice once at the end — instead
+        # of a pad/partition + reverse/slice transpose pair per block.
+        # Cyclic shifts for SW-MSA blocks are applied in window layout by
+        # `window_roll` (quadrant concatenation). Non-divisible maps carry a
+        # pad_keep_mask that re-zeroes pad tokens at each block's attention
+        # input, reproducing the map path's fresh per-block zero padding
+        # exactly (see pad_keep_mask). The slab kernel reads the map
+        # directly, so it keeps the per-block path.
+        pad_frac = (Hp * Wp - H * W) / float(H * W)
+        windows_resident = (self.attn_impl != "pallas_slab"
+                            and pad_frac <= self.resident_pad_max + 1e-9)
+        pad_mask = pad_mask_shifted = None
         if windows_resident:
-            h_wins, w_wins = H // ws, W // ws
+            h_wins, w_wins = Hp // ws, Wp // ws
             n_win = h_wins * w_wins
+            if Hp != H or Wp != W:
+                x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+                pad_mask = jnp.asarray(pad_keep_mask(H, W, Hp, Wp, ws))
+                if mask is not None:
+                    pad_mask_shifted = jnp.asarray(
+                        pad_keep_mask(H, W, Hp, Wp, ws, ss))
             x = window_partition(x, ws)                  # (B*nW, N, C)
 
         def remat_wrap(cls):
@@ -779,7 +826,7 @@ class BasicLayer(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "droppath": True,
                             "dropout": True},
-                in_axes=0, length=self.depth)
+                in_axes=(0, nn.broadcast), length=self.depth)
             x, _ = Scan(
                 dim=C, num_heads=self.num_heads, window_size=ws,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
@@ -791,8 +838,10 @@ class BasicLayer(nn.Module):
                 pretrain_window_size=self.pretrain_window_size,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 deterministic=deterministic, num_windows=n_win,
-                name="blocks_scan")(x, rates)
-            x = window_reverse(x, ws, H, W)
+                name="blocks_scan")(x, rates, pad_mask)
+            x = window_reverse(x, ws, Hp, Wp)
+            if Hp != H or Wp != W:
+                x = x[:, :H, :W]
             x_out = x
             if self.downsample == "merge":
                 x = PatchMerging(postnorm=self.postnorm, dtype=self.dtype,
@@ -830,12 +879,16 @@ class BasicLayer(nn.Module):
                 layout="windows" if windows_resident else "map",
                 num_windows=n_win if windows_resident else 1,
                 name=f"blocks_{i}",
-            )(x, mask if shift > 0 else None)
+            )(x, mask if shift > 0 else None, None,
+              (pad_mask_shifted if shift > 0 else pad_mask)
+              if windows_resident else None)
             if windows_resident and shift > 0:
                 x = window_roll(x, ws, shift, h_wins, w_wins, reverse=True)
 
         if windows_resident:
-            x = window_reverse(x, ws, H, W)
+            x = window_reverse(x, ws, Hp, Wp)
+            if Hp != H or Wp != W:
+                x = x[:, :H, :W]
 
         x_out = x
         if self.downsample == "merge":
@@ -884,6 +937,7 @@ class SwinTransformerV2(nn.Module):
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False               # see BasicLayer.scan_blocks
+    resident_pad_max: float = 0.0           # see BasicLayer.resident_pad_max
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -965,6 +1019,7 @@ class SwinTransformerV2(nn.Module):
                 pretrain_window_size=self.pretrain_window_size[i],
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 scan_blocks=self.scan_blocks,
+                resident_pad_max=self.resident_pad_max,
                 name=f"layers_{i}",
             )(x, deterministic)
 

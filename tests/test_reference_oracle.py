@@ -122,6 +122,41 @@ class TestSwinEncoderOracle:
                 f, t, rtol=1e-3, atol=1e-4,
                 err_msg=f"stage {i} (ref swin_transformer_v2.py:1251-1277)")
 
+    def test_forward_parity_padded_windows(self, pair):
+        """Non-divisible feature maps (120x200 input -> 30x50 at stage 1,
+        window 30 pads to 30x60; ref pads per block at :429-434). Pins the
+        padded window-resident stage path (pad once + per-block pad_keep_mask
+        re-zeroing) to the reference's fresh-zero-padding semantics."""
+        from mmde_tpu.ckpt import torch_convert as tc
+        from mmde_tpu.nn.swin_v2 import SwinTransformerV2 as FlaxSwin
+        tmodel, base = pair
+        # same params tree; force residency on padded maps
+        fmodel = FlaxSwin(
+            embed_dim=128, depths=(2, 2), num_heads=(4, 8),
+            window_size=(30, 15), pretrain_window_size=(12, 6),
+            use_shift=(True, True), out_indices=(0, 1),
+            drop_path_rate=0.0, rpe_table_type="norm8_log_bylayer",
+            rpe_output_type="sigmoid", attn_type="cosine_mh", postnorm=True,
+            attn_impl="xla", resident_pad_max=1.0)
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((1, 3, 120, 200)).astype(np.float32)
+
+        with torch.no_grad():
+            t_outs = tmodel(torch.from_numpy(x))
+
+        x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        variables = fmodel.init(jax.random.PRNGKey(0), x_nhwc)
+        converted, _ = tc.convert_swin(_sd_numpy(tmodel))
+        merged, _, _ = tc.apply_pretrained(dict(variables["params"]),
+                                           converted)
+        f_outs = fmodel.apply({"params": merged}, x_nhwc)
+        for i, (t, f) in enumerate(zip(t_outs, f_outs)):
+            t = t.numpy()
+            f = np.transpose(np.asarray(f), (0, 3, 1, 2))
+            np.testing.assert_allclose(
+                f, t, rtol=1e-3, atol=1e-4,
+                err_msg=f"padded stage {i} (ref pads per block :429-434)")
+
 
 # ---------------------------------------------------------------------------
 # Decoder v2

@@ -252,3 +252,112 @@ class TestWindowResidentStage:
             grp = out[s * 4:(s + 1) * 4]
             # all four windows of a sample share the same drop decision
             assert (grp == grp[0]).all()
+
+
+class TestPaddedWindowResident:
+    """Window residency on NON-divisible maps: pad once per stage + re-zero
+    pad tokens at each block's attention input (pad_keep_mask) must match
+    the per-block map path (which re-pads fresh zeros every block,
+    ref swin_transformer_v2.py:429-434) exactly at real token positions."""
+
+    def _replay_map(self, params, x, depth, ws, use_shift, postnorm=True):
+        import jax.numpy as jnp
+        from mmde_tpu.nn import swin_v2 as sw
+        B, H, W, C = x.shape
+        Hp, Wp = -(-H // ws) * ws, -(-W // ws) * ws
+        ss = ws // 2
+        mask = jnp.asarray(sw.shifted_window_mask(Hp, Wp, ws, ss))
+        y = x
+        for i in range(depth):
+            shift = 0 if (i % 2 == 0 or not use_shift) else ss
+            blk = sw.SwinBlock(dim=C, num_heads=2, window_size=ws,
+                               shift_size=shift, drop_path_rate=0.0,
+                               postnorm=postnorm,
+                               init_values=None if postnorm else 1e-5,
+                               attn_impl="xla")
+            bp = {"params": params["params"][f"blocks_{i}"]}
+            y = blk.apply(bp, y, mask if shift > 0 else None)
+        return y
+
+    def _stage(self, use_shift, postnorm=True, shape=(2, 10, 14), ws=4,
+               depth=3):
+        import jax
+        from mmde_tpu.nn import swin_v2 as sw
+        B, H, W = shape
+        layer = sw.BasicLayer(dim=32, depth=depth, num_heads=2,
+                              window_size=ws,
+                              drop_path_rates=(0.0,) * depth,
+                              use_shift=use_shift, postnorm=postnorm,
+                              init_values=None if postnorm else 1e-5,
+                              attn_impl="xla", resident_pad_max=1.0)
+        x = jax.random.normal(jax.random.PRNGKey(7), (B, H, W, 32),
+                              jnp.float32)
+        params = layer.init(jax.random.PRNGKey(8), x)
+        out, _ = layer.apply(params, x)
+        return layer, params, x, out
+
+    def test_padded_resident_matches_map_no_shift(self):
+        layer, params, x, out = self._stage(use_shift=False)
+        ref = self._replay_map(params, x, 3, 4, use_shift=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_padded_resident_matches_map_shifted(self):
+        layer, params, x, out = self._stage(use_shift=True)
+        ref = self._replay_map(params, x, 3, 4, use_shift=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_padded_resident_matches_map_prenorm(self):
+        layer, params, x, out = self._stage(use_shift=True, postnorm=False)
+        ref = self._replay_map(params, x, 3, 4, use_shift=True,
+                               postnorm=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_padded_resident_grads_match_map(self):
+        import jax
+        layer, params, x, _ = self._stage(use_shift=True)
+
+        def f_res(p):
+            out, _ = layer.apply(p, x)
+            return jnp.sum(out ** 2)
+
+        def f_map(p):
+            return jnp.sum(self._replay_map(p, x, 3, 4, use_shift=True) ** 2)
+
+        g1 = jax.grad(f_res)(params)["params"]
+        g2 = jax.grad(f_map)(params)["params"]
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+        assert len(flat1) == len(flat2)
+        # per-leaf relative L2: the two layouts reassociate matmul-grad
+        # reductions (roll/partition order), which costs up to ~2.5e-3
+        # elementwise even on DIVISIBLE maps (measured); a pad-token leak
+        # would show O(1) errors here.
+        for path, leaf in flat1:
+            a = np.asarray(leaf, np.float64)
+            b = np.asarray(flat2[path], np.float64)
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+            assert rel < 1e-3, f"{jax.tree_util.keystr(path)}: relL2={rel}"
+
+    def test_padded_resident_scan_matches_unrolled(self):
+        import jax
+        from mmde_tpu.nn import swin_v2 as sw
+        kw = dict(dim=32, depth=3, num_heads=2, window_size=4,
+                  drop_path_rates=(0.0,) * 3, use_shift=False,
+                  attn_impl="xla", resident_pad_max=1.0)
+        x = jax.random.normal(jax.random.PRNGKey(9), (1, 10, 14, 32),
+                              jnp.float32)
+        unrolled = sw.BasicLayer(scan_blocks=False, **kw)
+        scanned = sw.BasicLayer(scan_blocks=True, **kw)
+        p_u = unrolled.init(jax.random.PRNGKey(10), x)
+        wrapped = sw.to_scanned_layout({"layers_0": p_u["params"]},
+                                       scan_stages=[0])
+        p_s = {"params": wrapped["layers_0"]}
+        o_u, _ = unrolled.apply(p_u, x)
+        o_s, _ = scanned.apply(p_s, x)
+        # scan-vs-unrolled is exact standalone; under the 8-virtual-device
+        # conftest XLA fuses the two programs differently (7th-digit noise)
+        np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_u),
+                                   rtol=1e-4, atol=1e-5)
