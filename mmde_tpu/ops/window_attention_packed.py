@@ -53,6 +53,7 @@ log temperature, models/swin_transformer_v2.py:275-336 (reference repo).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -68,6 +69,17 @@ _NEG_INF = -1e9
 # "window_resident" is the measured-stable v2; flip to "bias_resident"
 # once the v4 grid is hardware-audited + benchmarked faster.
 DEFAULT_GRID_MODE = "window_resident"
+
+# Default kernel-body precision mode for bf16 models ("fp32" exact, "fold"
+# folded logit scale with fp32 dots, "bf16" fold + bf16 MXU operands).
+# Measured e2e at flagship 480x640 bs8 (docs/PERF.md): fold 8.11 img/s,
+# fp32 8.07-8.10, bf16 7.98 (the operand casts add VPU passes to a
+# VPU-bound kernel) — "fold" is the default. Read ONCE at import so jit
+# caches can't silently depend on a mid-process env flip;
+# MMDE_ATTN_MXU=fp32 is the kill-switch.
+_m = os.environ.get("MMDE_ATTN_MXU", "auto")
+MXU_BF16_DEFAULT = "fold" if _m == "auto" else _m
+del _m
 # Candidate q-tile row counts (all 8-divisible), large to small. Large tiles
 # amortize per-cell grid overhead and the per-cell k/v re-normalization; the
 # plan takes the largest that fits the VMEM budget with minimal padding.
@@ -168,7 +180,17 @@ def pack_rpe_bias(bias_nnh: jnp.ndarray, ng: int, hg: int,
 
 
 def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-              *, hg: int, dh: int, np_: int, g_axis: int = 1):
+              *, hg: int, dh: int, np_: int, g_axis: int = 1,
+              mxu: str = "fp32"):
+    """mxu: "fp32" — exact fp32 pipeline (fp32 models; tested bit-stable);
+    "fold" — fold the logit scale into q before the QK dot (one fewer
+    (BQ, Np) logits pass; fp32 dots); "bf16" — fold + run the two matmuls
+    with bf16 operands (fp32 accumulate) for native-rate MXU at ~0.4% logit
+    rounding (bf16 models only — their operands are already bf16-rounded).
+    The backward recomputes p with the SAME ops so forward and backward see
+    identical probabilities."""
+    fold = mxu in ("fold", "bf16")
+    use_b = mxu == "bf16"
     g = pl.program_id(g_axis)
     kbuf = k_ref[0]
     vbuf = v_ref[0]
@@ -182,17 +204,33 @@ def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
         kn = k * jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
         ls = ls_ref[g * hg + t, 0]
         scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
-        s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
-            jnp.float32)
+        if fold:
+            qd = qn * scale
+            kd = kn
+            if use_b:
+                qd = qd.astype(jnp.bfloat16)
+                kd = kd.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[0][:, t * np_:(t + 1) * np_].astype(jnp.float32)
+        else:
+            s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                jnp.float32)
         if mask is not None:
             s = s + mask
         m = jnp.max(s, -1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, -1, keepdims=True)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        if use_b:
+            o = jax.lax.dot_general(p.astype(jnp.bfloat16),
+                                    v.astype(jnp.bfloat16),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        else:
+            o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
         out_ref[0, :, cs:cs + dh] = (o / denom).astype(out_ref.dtype)
 
 
@@ -204,7 +242,8 @@ def _pad_rows(x, np_, value=0.0):
 
 
 def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                    interpret, grid_mode="window_resident"):
+                    interpret, grid_mode="window_resident",
+                    mxu="fp32"):
     """grid_mode:
       "window_resident" (v2): grid (B, nG, nQ), iq innermost — the k/v
         window blocks stay resident across q tiles, the RPE bias block is
@@ -257,11 +296,11 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
         in_specs.append(pl.BlockSpec((1, BQ, Np), mask_idx))
         args.append(mask)
         body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np,
-                                 g_axis=g_axis)
+                                 g_axis=g_axis, mxu=mxu)
     else:
         def body(ls, qt, k, v, bias, out):
             _fwd_body(ls, qt, k, v, bias, None, out, hg=HG, dh=Dh, np_=Np,
-                      g_axis=g_axis)
+                      g_axis=g_axis, mxu=mxu)
 
     out = pl.pallas_call(
         body,
@@ -280,14 +319,17 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
 
 def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
               dq_ref, dk_ref, dv_ref, ds_ref, dls_ref,
-              *, hg: int, dh: int, np_: int):
+              *, hg: int, dh: int, np_: int, mxu: str = "fp32"):
     """Backward cell. Correctness constraint (measured on hardware,
     tools/check_attention_grads_tpu.py): compiled Mosaic only supports
     output-block accumulation across CONSECUTIVE grid steps, so dk/dv
     accumulate over iq (innermost) and dbias is NOT accumulated in-kernel —
     each cell dumps its ds tile (write-once) and the caller reduces over
     windows in XLA. The dls block's index never changes, so it is never
-    flushed and accumulates safely across all cells."""
+    flushed and accumulates safely across all cells. `mxu` as in
+    _fwd_body."""
+    fold = mxu in ("fold", "bf16")
+    use_b = mxu == "bf16"
     b = pl.program_id(0)
     g = pl.program_id(1)
     iq = pl.program_id(2)
@@ -319,22 +361,47 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
 
         ls = ls_ref[g * hg + t, 0]
         scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
-        c = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = c * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
-            jnp.float32)
+        if fold:
+            # recompute p with the forward's exact ops (folded scale, and
+            # bf16 MXU operands in "bf16" mode) so fwd/bwd p agree
+            qd = qn * scale
+            kd = kn
+            if use_b:
+                qd = qd.astype(jnp.bfloat16)
+                kd = kd.astype(jnp.bfloat16)
+            sc = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s = sc + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                jnp.float32)
+        else:
+            c = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            sc = c * scale
+            s = sc + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                jnp.float32)
         if mask is not None:
             s = s + mask
         m = jnp.max(s, -1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, -1, keepdims=True)
 
-        dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if use_b:
+            grd = gr.astype(jnp.bfloat16)
+            dp = jax.lax.dot_general(grd, v.astype(jnp.bfloat16),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
 
-        dv_part = jax.lax.dot_general(p, gr, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        if use_b:
+            dv_part = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), grd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dv_part = jax.lax.dot_general(p, gr, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
 
         @pl.when(first_iq)
         def _():
@@ -346,21 +413,35 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
                 dv_ref[0, :, cs:cs + dh].astype(jnp.float32)
                 + dv_part).astype(dv_ref.dtype)
 
-        # per-window ds dump (bf16, write-once); dbias = sum_b outside
+        # per-window ds dump (write-once); dbias = sum_b outside
         ds_ref[0, 0, :, t * np_:(t + 1) * np_] = ds.astype(ds_ref.dtype)
 
         gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
-        dls_val = scale * jnp.sum(ds * c) * gate
+        # d(loss)/d(ls) = sum(ds * scale * qn.kn) = sum(ds * sc)
+        dls_val = jnp.sum(ds * sc) * gate
         dls_ref[pl.ds(g * hg + t, 1), :] += jnp.where(lane == 0, dls_val, 0.0)
 
-        dqn = scale * jax.lax.dot_general(ds, kn, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+        if use_b:
+            dsd = ds.astype(jnp.bfloat16)
+            dqn = scale * jax.lax.dot_general(
+                dsd, kd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dqn = scale * jax.lax.dot_general(
+                ds, kn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         dq = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
         dq_ref[0, :, cs:cs + dh] = dq.astype(dq_ref.dtype)
 
-        dkn_part = scale * jax.lax.dot_general(
-            ds, qn, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if fold:
+            # qd carries the folded scale: dot(ds, qd) = scale * ds.qn
+            dkn_part = jax.lax.dot_general(
+                dsd if use_b else ds, qd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dkn_part = scale * jax.lax.dot_general(
+                ds, qn, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(first_iq)
         def _():
@@ -570,7 +651,7 @@ def _pallas_backward_v4(qkv, logit_scale, bias_packed, mask, g_out,
 
 
 def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
-                     interpret):
+                     interpret, mxu="fp32"):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nH = num_heads
@@ -599,11 +680,12 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         in_specs.append(pl.BlockSpec((1, BQ, Np),
                                      lambda b, g, iq: (b % nW, iq, 0)))
         args.append(mask)
-        body = functools.partial(_bwd_body, hg=HG, dh=Dh, np_=Np)
+        body = functools.partial(_bwd_body, hg=HG, dh=Dh, np_=Np,
+                                 mxu=mxu)
     else:
         def body(ls, qt, k, v, bias, gt, dq, dk, dv, ds, dls):
             _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, ds, dls,
-                      hg=HG, dh=Dh, np_=Np)
+                      hg=HG, dh=Dh, np_=Np, mxu=mxu)
     in_specs.append(qt_spec)                # g tile
     args.append(g_out)
 
@@ -661,26 +743,31 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _packed_op(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
-               grid_mode):
+               grid_mode, mxu):
     return _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                           interpret, grid_mode)
+                           interpret, grid_mode, mxu)
 
 
 def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
-                grid_mode):
+                grid_mode, mxu):
     out = _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                          interpret, grid_mode)
+                          interpret, grid_mode, mxu)
     return out, (qkv, logit_scale, bias_packed, mask)
 
 
-def _packed_bwd(num_heads, interpret, grid_mode, res, g):
+def _packed_bwd(num_heads, interpret, grid_mode, mxu, res, g):
     qkv, logit_scale, bias_packed, mask = res
-    bwd = _pallas_backward_v4 if grid_mode == "bias_resident" \
-        else _pallas_backward
-    dqkv, dls, dbias = bwd(qkv, logit_scale, bias_packed, mask,
-                           g, num_heads, interpret)
+    if grid_mode == "bias_resident":
+        # v4 opt-in keeps the exact fp32 backward (its selling point is
+        # in-kernel fp32 dbias)
+        dqkv, dls, dbias = _pallas_backward_v4(
+            qkv, logit_scale, bias_packed, mask, g, num_heads, interpret)
+    else:
+        dqkv, dls, dbias = _pallas_backward(
+            qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
+            mxu)
     return dqkv, dls, dbias, None
 
 
@@ -693,7 +780,8 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
                                    mask: Optional[jnp.ndarray] = None,
                                    *, num_heads: int,
                                    interpret: Optional[bool] = None,
-                                   grid_mode: Optional[str] = None):
+                                   grid_mode: Optional[str] = None,
+                                   mxu: Optional[str] = None):
     """Fused packed-layout cosine window attention.
 
     qkv: (B_, N, 3C) as produced by the qkv Dense (+q/v bias); bias_packed:
@@ -703,10 +791,16 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
     grid_mode: "window_resident" (v2 grid) or "bias_resident" (v4 grid —
     in-kernel fp32 dbias, no ds dump; see _pallas_forward/_bwd_body_v4).
     Defaults to DEFAULT_GRID_MODE.
+
+    mxu: "fp32" | "fold" | "bf16" (see _fwd_body). Defaults to
+    MXU_BF16_DEFAULT for bf16 inputs (MMDE_ATTN_MXU env, read at import),
+    "fp32" for fp32 inputs — fp32 models always keep the exact pipeline.
     """
     if interpret is None:
         interpret = not _on_tpu()
     if grid_mode is None:
         grid_mode = DEFAULT_GRID_MODE
+    if mxu is None:
+        mxu = MXU_BF16_DEFAULT if qkv.dtype == jnp.bfloat16 else "fp32"
     return _packed_op(qkv, logit_scale, bias_packed, mask, num_heads,
-                      interpret, grid_mode)
+                      interpret, grid_mode, mxu)

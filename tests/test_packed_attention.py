@@ -190,3 +190,64 @@ def test_swin_backbone_packed_vs_xla():
         ks = jax.tree_util.keystr(k)
         np.testing.assert_allclose(np.asarray(v), np.asarray(flat_x[ks]),
                                    rtol=5e-3, atol=2e-3, err_msg=ks)
+
+
+class TestMxuBf16Mode:
+    """bf16-MXU kernel mode (folded logit scale + bf16 dot operands, fp32
+    accumulate/softmax) — default for bf16 inputs, never for fp32."""
+
+    def _packed_mode(self, qkv, ls, bias, mask, nH, mxu):
+        from mmde_tpu.ops.window_attention_packed import (
+            attention_plan, cosine_window_attention_packed, pack_rpe_bias)
+        plan = attention_plan(qkv.shape[1], nH, (qkv.shape[2] // 3) // nH,
+                              qkv.shape[2] // 3)
+        _, np_, _, hg, ng, _ = plan
+        bp = pack_rpe_bias(bias, ng, hg, np_).astype(qkv.dtype)
+        mk = mask.astype(qkv.dtype) if mask is not None else None
+        return cosine_window_attention_packed(
+            qkv, ls, bp, mk, num_heads=nH, interpret=True, mxu=mxu)
+
+    def test_bf16_mode_close_to_fp32_pipeline(self):
+        qkv, ls, bias, mask = _make_inputs(B=2, nH=4, N=36)
+        qb = qkv.astype(jnp.bfloat16)
+        o_ref = self._packed_mode(qb, ls, bias, mask, 4, mxu="fp32")
+        o_mxu = self._packed_mode(qb, ls, bias, mask, 4, mxu="bf16")
+        a = np.asarray(o_mxu, np.float32)
+        b = np.asarray(o_ref, np.float32)
+        # bf16 operand rounding on the two dots: ~0.4% relative
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+        assert rel < 2e-2, rel
+        assert o_mxu.dtype == jnp.bfloat16
+
+    def test_fp32_inputs_never_use_bf16_mxu(self):
+        # default resolution: fp32 in -> exact fp32 pipeline (bit-equal to
+        # explicit mxu_bf16=False)
+        qkv, ls, bias, mask = _make_inputs(B=2, nH=4, N=36)
+        from mmde_tpu.ops.window_attention_packed import (
+            attention_plan, cosine_window_attention_packed, pack_rpe_bias)
+        plan = attention_plan(36, 4, 32, 128)
+        _, np_, _, hg, ng, _ = plan
+        bp = pack_rpe_bias(bias, ng, hg, np_)
+        o_def = cosine_window_attention_packed(qkv, ls, bp, mask,
+                                               num_heads=4, interpret=True)
+        o_off = cosine_window_attention_packed(qkv, ls, bp, mask,
+                                               num_heads=4, interpret=True,
+                                               mxu="fp32")
+        np.testing.assert_array_equal(np.asarray(o_def), np.asarray(o_off))
+
+    def test_bf16_mode_grads_close(self):
+        qkv, ls, bias, mask = _make_inputs(B=2, nH=4, N=36)
+        qb = qkv.astype(jnp.bfloat16)
+
+        def loss(q, l, b, mxu):
+            o = self._packed_mode(q, l, b, mask, 4, mxu)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(qb, ls, bias, "fp32")
+        for mode, tol in (("bf16", 5e-2), ("fold", 1e-2)):
+            g_mxu = jax.grad(loss, argnums=(0, 1, 2))(qb, ls, bias, mode)
+            for name, a, b in zip(("dqkv", "dls", "dbias"), g_mxu, g_ref):
+                a = np.asarray(a, np.float32)
+                b = np.asarray(b, np.float32)
+                rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+                assert rel < tol, (mode, name, rel)
