@@ -30,8 +30,13 @@ from mmde_tpu.nn.decoders import DecoderV1, DecoderV2
 
 Dtype = Any
 
-# embed_dim / num_heads per swin variant (ref models/model.py:18-29)
+# embed_dim / num_heads per swin variant (ref models/model.py:18-29).
+# "nano" is an extension (not in the reference): a 32-wide variant for smoke
+# tests and the driver dryrun — the decoder_v2 pose branch is O(C^2)-wide
+# (5 convs at 2*C_last channels, ref decoder_v2.py:28-44), so even
+# swin_tiny drags ~100M pose-conv params into tiny-shape dry runs.
 SWIN_VARIANTS = {
+    "nano": (32, (1, 2, 4, 8)),
     "tiny": (96, (3, 6, 12, 24)),
     "base": (128, (4, 8, 16, 32)),
     "large": (192, (6, 12, 24, 48)),

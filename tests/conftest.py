@@ -24,8 +24,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the heavyweight jitted steps (mesh train step,
 # swin stacks) cost minutes each to compile on small hosts; cached
-# executables make suite re-runs start in seconds
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# executables make suite re-runs start in seconds. Keyed per machine —
+# XLA:CPU AOT entries are ISA-specific and cross-machine loads only produce
+# "machine features mismatch" spam (mmde_tpu/utils/cache.py).
+from mmde_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"), min_compile_secs=10.0)
