@@ -18,8 +18,9 @@ reproduces torch AdamW's decoupled update p -= lr*scale*(adam + wd*p).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -166,26 +167,124 @@ def _scale_by_tree(scales):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FusedAdamWState(NamedTuple):
+    """Optimizer state of the fused update: one step counter plus first /
+    second moments stored as a single flat vector each (not per-leaf)."""
+    count: jnp.ndarray
+    m: jnp.ndarray
+    v: jnp.ndarray
+
+
+def _fused_adamw(params, schedule, *, weight_decay: float, b1: float,
+                 b2: float, eps: float, scales_tree, frozen_tree):
+    """Whole-model AdamW as ONE flat-vector update.
+
+    Element-wise identical to the optax chain scale_by_adam ->
+    add_decayed_weights(mask) -> scale-by-layer-decay -> [frozen zeroing] ->
+    scale_by_learning_rate(schedule), but computed over a single
+    concatenation of all parameters: ~5 fused HBM-streaming ops per step
+    instead of ~5 ops x n_leaves (~300 at flagship depth). The per-element
+    constants (weight-decay on/off, layer-decay lr scale, frozen 0/1) are
+    baked into two host-built vectors at construction.
+
+    Shrinks the train-step HLO (the unfused optimizer was a large share of
+    the XLA-fusion bucket, docs/PERF.md roadmap item 2) and cuts trace /
+    compile / execute cost everywhere — including the driver's 8-virtual-
+    device dryrun, where per-leaf optimizer ops dominated the step graph.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    dtype = leaves[0].dtype
+    assert all(l.dtype == dtype for l in leaves), \
+        "fused adamw requires a single param dtype; use fused=False"
+
+    def _const_vec(tree, default):
+        if tree is None:
+            return np.full(int(offsets[-1]), default, np.float32)
+        tl = jax.tree_util.tree_leaves(tree)
+        assert len(tl) == len(leaves)
+        return np.concatenate(
+            [np.broadcast_to(np.asarray(t, np.float32), s).reshape(-1)
+             for t, s in zip(tl, shapes)])
+
+    wd_vec = _const_vec(
+        jax.tree.map(lambda m: weight_decay if m else 0.0,
+                     weight_decay_mask(params)), weight_decay)
+    comb = _const_vec(scales_tree, 1.0)
+    if frozen_tree is not None:
+        comb = comb * _const_vec(frozen_tree, 1.0)
+    # one fused constant multiplier; wd is folded into the same pass
+    comb_vec = jnp.asarray(comb)
+    wd_vec = jnp.asarray(wd_vec)
+
+    def flat(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate([jnp.ravel(l) for l in ls])
+
+    def unflat(vec):
+        outs = [jax.lax.slice(vec, (int(offsets[i]),),
+                              (int(offsets[i + 1]),)).reshape(shapes[i])
+                for i in range(len(shapes))]
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    def init_fn(ps):
+        n = int(offsets[-1])
+        del ps
+        return FusedAdamWState(count=jnp.zeros((), jnp.int32),
+                               m=jnp.zeros((n,), dtype),
+                               v=jnp.zeros((n,), dtype))
+
+    def update_fn(updates, state, ps=None):
+        g = flat(updates)
+        p = flat(ps)
+        count_inc = optax.safe_int32_increment(state.count)
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * (g * g)
+        t = count_inc.astype(jnp.float32)
+        mhat = m / (1.0 - jnp.power(b1, t))
+        vhat = v / (1.0 - jnp.power(b2, t))
+        lr = schedule(state.count)
+        u = (-lr) * comb_vec * (mhat / (jnp.sqrt(vhat) + eps) + wd_vec * p)
+        return unflat(u), FusedAdamWState(count=count_inc, m=m, v=v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(params, *, backbone: str, depths: Sequence[int],
                     max_lr: float, min_lr: float, weight_decay: float,
                     layer_decay: float, steps_per_epoch: int, epochs: int,
                     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-                    frozen_stages: int = -1):
+                    frozen_stages: int = -1, fused: bool = True):
     """AdamW + (for swin backbones) layer-decay scaling + poly LR schedule.
 
     Matches the construction at reference train.py:113-115. For non-swin
     backbones the reference's training loop applies a flat LR
     (train.py:203), so scales collapse to 1. `frozen_stages` zeroes the
     full update (Adam step + weight decay) for frozen swin subtrees.
+
+    fused=True (default) computes the whole update on one flat vector
+    (_fused_adamw; numerically identical — tests/test_optim.py pins fused
+    vs unfused to fp32 tolerance). fused=False keeps the per-leaf optax
+    chain (its optimizer state mirrors torch param-group structure 1:1).
     """
     schedule = poly_lr_schedule(max_lr, min_lr, steps_per_epoch, epochs)
+    scales_tree = None
+    frozen_tree = None
+    if "swin" in backbone:
+        scales_tree, _ = build_layer_scales(params, depths, layer_decay)
+        if frozen_stages >= 0:
+            frozen_tree = frozen_stage_scales(params, frozen_stages)
+    if fused:
+        return _fused_adamw(params, schedule, weight_decay=weight_decay,
+                            b1=b1, b2=b2, eps=eps, scales_tree=scales_tree,
+                            frozen_tree=frozen_tree), schedule
     chain = [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
              optax.add_decayed_weights(weight_decay, weight_decay_mask(params))]
-    if "swin" in backbone:
-        scales, _ = build_layer_scales(params, depths, layer_decay)
-        chain.append(_scale_by_tree(scales))
-        if frozen_stages >= 0:
-            chain.append(_scale_by_tree(
-                frozen_stage_scales(params, frozen_stages)))
+    if scales_tree is not None:
+        chain.append(_scale_by_tree(scales_tree))
+        if frozen_tree is not None:
+            chain.append(_scale_by_tree(frozen_tree))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain), schedule

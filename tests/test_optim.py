@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -134,3 +135,71 @@ class TestFrozenStages:
         assert np.abs(
             np.asarray(updates["encoder"]["layers_1"]["blocks_0"]["w"])
         ).min() > 0
+
+
+class TestFusedAdamW:
+    """The fused flat-vector AdamW must be element-wise equivalent to the
+    per-leaf optax chain (scale_by_adam -> add_decayed_weights(mask) ->
+    layer-decay scale -> frozen zeroing -> lr schedule) over multiple steps."""
+
+    def _params(self, rng):
+        def w(*s):
+            return jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        return {
+            "encoder": {
+                "patch_embed": {"proj": {"kernel": w(3, 3, 3, 8),
+                                         "bias": w(8)}},
+                "layers_0": {
+                    "blocks_0": {"attn": {"logit_scale": w(2, 1, 1),
+                                          "rpe_fc1": {"kernel": w(2, 4)},
+                                          "qkv": {"kernel": w(8, 24)}},
+                                 "mlp": {"fc1": {"kernel": w(8, 16),
+                                                 "bias": w(16)}}},
+                    "downsample": {"reduction": {"kernel": w(32, 16)}},
+                },
+                "layers_1": {"blocks_0": {"w": w(16, 16)}},
+            },
+            "decoder": {"conv": {"kernel": w(3, 3, 16, 4), "bias": w(4)}},
+        }
+
+    @pytest.mark.parametrize("frozen_stages", [-1, 2])
+    def test_matches_unfused_chain(self, frozen_stages):
+        from mmde_tpu.train.optim import build_optimizer
+        rng = np.random.default_rng(0)
+        p0 = self._params(rng)
+        kw = dict(backbone="swin_base_v2", depths=(2, 2), max_lr=1e-2,
+                  min_lr=1e-3, weight_decay=0.05, layer_decay=0.9,
+                  steps_per_epoch=4, epochs=2, frozen_stages=frozen_stages)
+        tx_f, _ = build_optimizer(p0, fused=True, **kw)
+        tx_u, _ = build_optimizer(p0, fused=False, **kw)
+        pf = pu = p0
+        sf, su = tx_f.init(p0), tx_u.init(p0)
+        for step in range(3):
+            grads = jax.tree.map(
+                lambda x: jnp.asarray(
+                    rng.standard_normal(x.shape).astype(np.float32)), p0)
+            uf, sf = tx_f.update(grads, sf, pf)
+            uu, su = tx_u.update(grads, su, pu)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-8),
+                uf, uu)
+            pf = jax.tree.map(lambda a, u: a + u, pf, uf)
+            pu = jax.tree.map(lambda a, u: a + u, pu, uu)
+
+    def test_non_swin_flat_lr(self):
+        from mmde_tpu.train.optim import build_optimizer
+        rng = np.random.default_rng(1)
+        p0 = {"enc": {"k": jnp.asarray(rng.standard_normal((4, 4),).astype(np.float32))},
+              "b": jnp.asarray(rng.standard_normal(4).astype(np.float32))}
+        kw = dict(backbone="resnet_only", depths=(2, 2), max_lr=1e-2,
+                  min_lr=1e-3, weight_decay=0.05, layer_decay=0.9,
+                  steps_per_epoch=4, epochs=2)
+        tx_f, _ = build_optimizer(p0, fused=True, **kw)
+        tx_u, _ = build_optimizer(p0, fused=False, **kw)
+        grads = jax.tree.map(jnp.ones_like, p0)
+        uf, _ = tx_f.update(grads, tx_f.init(p0), p0)
+        uu, _ = tx_u.update(grads, tx_u.init(p0), p0)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-8), uf, uu)
