@@ -164,6 +164,10 @@ def from_yaml_dict(y: dict) -> Config:
         shift_window_test=bool(swin_y.get("SHIFT_WINDOW_TEST", False)),
         shift_size=int(swin_y.get("SHIFT_SIZE", 2)),
         drop_path_rate=float(swin_y.get("DROP_PATH_RATE", 0.3)),
+        # extension keys (not in the reference schema)
+        remat_policy=str(swin_y.get("REMAT_POLICY", "full")),
+        frozen_stages=int(swin_y.get("FROZEN_STAGES", -1)),
+        scan_blocks=bool(swin_y.get("SCAN_BLOCKS", False)),
     )
     cnn = CnnTransformerConfig(
         cnn_model=str(cnn_y.get("CNN_MODEL", "resnet50")),
@@ -174,16 +178,26 @@ def from_yaml_dict(y: dict) -> Config:
         decoder=y.get("DECODER", "decoder_v1"),
         model_scale=int(y.get("MODEL_SCALE", 16)),
         max_depth=float(y.get("MAX_DEPTH", 10.0)),
+        family=y.get("FAMILY", "two_frame"),
+        # extension keys (not in the reference schema): activation dtype and
+        # attention kernel selection for TPU configs
+        dtype=str(y.get("DTYPE", "float32")),
+        use_pallas_attention=bool(y.get("USE_PALLAS_ATTENTION", True)),
         swin=swin, cnn=cnn,
     )
     data = DataConfig(
         dataset=y.get("DATASET_NAME", "void"),
         data_path=y.get("DATA_PATH", ""),
+        void_meta_dir=y.get("VOID_META_DIR", ""),
         crop_h=int(y.get("CROP_HEIGHT", 480)),
         crop_w=int(y.get("CROP_WIDTH", 480)),
         image_interval_range=_tup(y.get("IMAGE_INTERVAL_RANGE", (5, 5))),
         workers=int(y.get("WORKERS", 8)),
         do_kb_crop=bool(y.get("DO_KB_CROP", True)),
+        # garg_crop / eigen_crop eval sub-region (legacy argparse
+        # `--kitti_crop`, configs/base_options.py; absent from the reference
+        # YAML schema — accepted here so KITTI eval is YAML-drivable)
+        kitti_crop=y.get("KITTI_CROP", None),
     )
     train = TrainConfig(
         batch_size=int(y.get("BATCH_SIZE", 4)),
@@ -199,6 +213,7 @@ def from_yaml_dict(y: dict) -> Config:
         print_freq=int(y.get("PRINT_FREQUENCY", 1)),
         resume_from=y.get("RESUME_FROM", "") or "",
         save_model=bool(y.get("SAVE_MODEL", True)),
+        seed=int(y.get("SEED", 0)),
     )
     eval_cfg = EvalConfig(
         max_depth_eval=float(y.get("MAX_DEPTH_EVAL", 10.0)),
@@ -208,9 +223,10 @@ def from_yaml_dict(y: dict) -> Config:
         save_eval_pngs=bool(y.get("SAVE_EVAL_PNGS", False)),
         save_visualize=bool(y.get("SAVE_VISUALIZE", False)),
     )
+    mesh = MeshConfig(num_devices=int(y.get("NUM_DEVICES", 0)))
     return Config(
         user_name=y.get("USER_NAME", "mmde"),
-        model=model, data=data, train=train, eval=eval_cfg,
+        model=model, data=data, train=train, eval=eval_cfg, mesh=mesh,
     )
 
 

@@ -67,6 +67,87 @@ def eval_depth_masked(pred: jnp.ndarray, target: jnp.ndarray,
     }
 
 
+def eval_depth_masked_per_sample(pred: jnp.ndarray, target: jnp.ndarray,
+                                 valid: jnp.ndarray
+                                 ) -> Dict[str, jnp.ndarray]:
+    """Per-sample depth metric suite: reductions over the pixel axes only.
+
+    Inputs (B, H, W); returns dict of (B,) vectors. Averaging these over
+    samples reproduces the reference's protocol exactly (validate runs at
+    batch size 1 and averages per-sample metrics, train.py:311-399) while
+    letting a sharded eval step process num_devices samples per dispatch.
+    Samples with zero valid pixels return 0 in every metric (mask them out
+    with a sample-validity weight on the host side).
+    """
+    ax = tuple(range(1, pred.ndim))
+    valid = valid.astype(bool)
+    n = jnp.maximum(jnp.sum(valid, axis=ax), 1)
+    p = jnp.where(valid, pred, 1.0)
+    t = jnp.where(valid, target, 1.0)
+    any_valid = jnp.any(valid, axis=ax)
+
+    thresh = jnp.maximum(t / p, p / t)
+    d1 = jnp.sum(jnp.where(valid, thresh < 1.25, False), axis=ax) / n
+    d2 = jnp.sum(jnp.where(valid, thresh < 1.25 ** 2, False), axis=ax) / n
+    d3 = jnp.sum(jnp.where(valid, thresh < 1.25 ** 3, False), axis=ax) / n
+
+    diff = jnp.where(valid, p - t, 0.0)
+    diff_log = jnp.where(valid, jnp.log(p) - jnp.log(t), 0.0)
+
+    abs_rel = jnp.sum(jnp.where(valid, jnp.abs(diff) / t, 0.0), axis=ax) / n
+    sq_rel = jnp.sum(jnp.where(valid, diff * diff / t, 0.0), axis=ax) / n
+    rmse = jnp.sqrt(jnp.sum(diff * diff, axis=ax) / n)
+    rmse_log = jnp.sqrt(jnp.sum(diff_log * diff_log, axis=ax) / n)
+    log10 = jnp.sum(jnp.where(
+        valid, jnp.abs(jnp.log10(p) - jnp.log10(t)), 0.0), axis=ax) / n
+    mean_dl2 = jnp.sum(diff_log * diff_log, axis=ax) / n
+    mean_dl = jnp.sum(diff_log, axis=ax) / n
+    silog = jnp.sqrt(jnp.maximum(mean_dl2 - 0.5 * mean_dl * mean_dl, 0.0))
+
+    out = {
+        "d1": d1, "d2": d2, "d3": d3, "abs_rel": abs_rel, "sq_rel": sq_rel,
+        "rmse": rmse, "rmse_log": rmse_log, "log10": log10, "silog": silog,
+    }
+    return {k: jnp.where(any_valid, v, 0.0) for k, v in out.items()}
+
+
+def eval_pose_per_sample(pred: Dict[str, jnp.ndarray],
+                         target: Dict[str, jnp.ndarray]
+                         ) -> Dict[str, jnp.ndarray]:
+    """Per-sample pose MSEs + cycle-consistency checks ((B,) vectors);
+    the batch mean of each equals eval_pose at batch size 1 averaged over
+    samples (the reference protocol, metrics.py:78-122)."""
+    B = pred["R12"].shape[0]
+
+    def mse(a, b):
+        d = a.reshape(B, -1) - b.reshape(B, -1)
+        return jnp.mean(d * d, axis=1)
+
+    out = {
+        "pose_mse_r12": mse(pred["R12"], target["R12"]),
+        "pose_mse_t12": mse(pred["T12"], target["T12"]),
+    }
+    if pred.get("R21") is None:
+        zero = jnp.zeros((B,))
+        out.update({
+            "pose_mse_r21": zero, "pose_mse_t21": zero,
+            "pose_mse_r_identity": zero, "pose_mse_t_identity": zero,
+        })
+        return out
+    out["pose_mse_r21"] = mse(pred["R21"], target["R21"])
+    out["pose_mse_t21"] = mse(pred["T21"], target["T21"])
+    R12 = pred["R12"].reshape(B, 3, 3)
+    R21 = pred["R21"].reshape(B, 3, 3)
+    T12 = pred["T12"].reshape(B, 3, 1)
+    T21 = pred["T21"].reshape(B, 3, 1)
+    eye = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    dR = R12 @ R21 - eye
+    out["pose_mse_r_identity"] = jnp.mean(dR.reshape(B, -1) ** 2, axis=1)
+    dT = (T12 + R12 @ T21).reshape(B, -1)
+    out["pose_mse_t_identity"] = jnp.mean(dT * dT, axis=1)
+    return out
+
+
 def eval_mask(dataset: str, pred: jnp.ndarray, gt: jnp.ndarray, *,
               min_depth_eval: float, max_depth_eval: float,
               do_kb_crop: bool = True, kitti_crop: Optional[str] = None

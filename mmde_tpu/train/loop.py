@@ -23,8 +23,8 @@ from mmde_tpu import metrics as M
 from mmde_tpu.config import Config
 from mmde_tpu.models import build_model
 from mmde_tpu.train.optim import build_optimizer
-from mmde_tpu.train.step import (TrainState, init_model, make_eval_step,
-                                 make_train_step)
+from mmde_tpu.train.step import (TrainState, init_model,
+                                 make_eval_metrics_step, make_train_step)
 from mmde_tpu.parallel.mesh import make_mesh, replicated_sharding
 from mmde_tpu.data.loader import DataLoader, device_prefetch
 from mmde_tpu.utils.logging import (AverageMeter, ScalarWriter,
@@ -73,6 +73,21 @@ def build_datasets(cfg: Config, synthetic: bool = False):
         val = NYUDepthV2Pairs(cfg.data.data_path, fn, False,
                               (cfg.data.crop_h, cfg.data.crop_w))
         return train, val
+    if cfg.data.dataset == "kitti":
+        # KITTI Eigen split (single-frame; ref dataset/kitti.py consumed by
+        # the legacy GLPDepth path). Wrapped in the unified two-frame schema
+        # (self-paired, identity pose) so every decoder family trains on it.
+        from mmde_tpu.data.datasets import KITTIEigen
+        from mmde_tpu.data.mixed import UnifiedTwoFrame
+        crop = (cfg.data.crop_h, cfg.data.crop_w)
+        fn = os.path.join(cfg.data.data_path, "filenames")
+        train = UnifiedTwoFrame(
+            KITTIEigen(cfg.data.data_path, fn, True, crop), "single_frame",
+            crop, 0)
+        val = UnifiedTwoFrame(
+            KITTIEigen(cfg.data.data_path, fn, False, crop), "single_frame",
+            crop, 0)
+        return train, val
     if cfg.data.dataset == "mixed":
         # NYU + KITTI + VOID joint training (BASELINE config 5): every
         # source whose directory exists under data_path joins the mix.
@@ -120,35 +135,34 @@ def build_datasets(cfg: Config, synthetic: bool = False):
     raise ValueError(f"unknown dataset '{cfg.data.dataset}'")
 
 
-def validate(eval_step, state, val_loader, cfg: Config) -> Dict[str, float]:
-    """Full eval pass: depth metric suite on frame 1 (as the reference,
-    train.py:311-312) + pose metrics; averaged over batches."""
+def validate(metrics_step, state, val_loader, cfg: Config,
+             n_shards: int = 1) -> Dict[str, float]:
+    """Full eval pass with per-sample metrics (the reference's batch-size-1
+    protocol, train.py:311-399). Batches are padded up to a multiple of
+    `n_shards` so the jitted step shards cleanly over the mesh; padded tail
+    samples are excluded from the averages by weight."""
     sums = {k: 0.0 for k in METRIC_NAMES}
     loss_meters = {k: AverageMeter() for k in
                    ("loss_depth", "loss_rotation", "loss_translation")}
-    n_batches = 0
+    n_samples = 0
     for batch in val_loader:
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+        arrays = {k: np.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
-        preds, aux = eval_step(state, arrays)
-        pred_d1 = jnp.squeeze(preds["pred_d1"], -1)
-        pred_c, gt_c, mask = M.eval_mask(
-            cfg.data.dataset, pred_d1, arrays["depth1"],
-            min_depth_eval=cfg.eval.min_depth_eval,
-            max_depth_eval=cfg.eval.max_depth_eval,
-            do_kb_crop=cfg.data.do_kb_crop, kitti_crop=cfg.data.kitti_crop)
-        depth_m = M.eval_depth_masked(pred_c, gt_c, mask)
-        pose_m = M.eval_pose(
-            {"R12": preds["pred_r12"], "T12": preds["pred_t12"],
-             "R21": preds.get("pred_r21"), "T21": preds.get("pred_t21")},
-            {"R12": arrays["R12"], "T12": arrays["T12"],
-             "R21": arrays.get("R21"), "T21": arrays.get("T21")})
-        for k, v in {**depth_m, **pose_m}.items():
-            sums[k] += float(v)
+        B = arrays["image1"].shape[0]
+        pad = (-B) % n_shards
+        if pad:
+            arrays = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                for k, v in arrays.items()}
+        per_sample, aux = metrics_step(
+            state, {k: jnp.asarray(v) for k, v in arrays.items()})
+        per_sample = jax.device_get(per_sample)
+        for k, v in per_sample.items():
+            sums[k] += float(np.sum(v[:B]))
         for k in loss_meters:
-            loss_meters[k].update(float(aux[k]), arrays["image1"].shape[0])
-        n_batches += 1
-    result = {k: v / max(n_batches, 1) for k, v in sums.items()}
+            loss_meters[k].update(float(aux[k]), B)
+        n_samples += B
+    result = {k: v / max(n_samples, 1) for k, v in sums.items()}
     losses = {k: m.avg for k, m in loss_meters.items()}
     return result, losses
 
@@ -168,7 +182,12 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
     train_loader = DataLoader(train_ds, cfg.train.batch_size,
                               shuffle=True, num_workers=cfg.data.workers,
                               drop_last=True, seed=cfg.train.seed)
-    val_loader = DataLoader(val_ds, 1, shuffle=False,
+    # val batch = device count so sharded validation feeds every chip
+    # (metrics stay per-sample — reference bs-1 protocol; validate() pads
+    # the non-divisible tail batch and masks it out of the averages)
+    n_val_batch = jax.device_count() if (use_mesh and
+                                         jax.device_count() > 1) else 1
+    val_loader = DataLoader(val_ds, n_val_batch, shuffle=False,
                             num_workers=min(cfg.data.workers, 2),
                             drop_last=False)
     steps_per_epoch = len(train_loader)
@@ -205,9 +224,18 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
                               lambda_rot=cfg.train.loss_lambda1,
                               lambda_trans=cfg.train.loss_lambda2,
                               silog_lambda=cfg.train.silog_lambda, mesh=mesh)
-    eval_fn = make_eval_step(model, decoder=cfg.model.decoder,
-                             lambda_rot=cfg.train.loss_lambda1,
-                             lambda_trans=cfg.train.loss_lambda2)
+    # validation shards over the same mesh (batch padded to a multiple of
+    # the device count in validate()); one device otherwise
+    n_shards = mesh.devices.size if mesh is not None else 1
+    eval_fn = make_eval_metrics_step(
+        model, dataset=cfg.data.dataset, decoder=cfg.model.decoder,
+        lambda_rot=cfg.train.loss_lambda1,
+        lambda_trans=cfg.train.loss_lambda2,
+        silog_lambda=cfg.train.silog_lambda,
+        min_depth_eval=cfg.eval.min_depth_eval,
+        max_depth_eval=cfg.eval.max_depth_eval,
+        do_kb_crop=cfg.data.do_kb_crop, kitti_crop=cfg.data.kitti_crop,
+        mesh=mesh)
 
     start_epoch = 1
     if cfg.train.resume_from == "auto":
@@ -284,7 +312,8 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
             orbax_io.save_epoch(ckpt_dir, state, epoch)
 
         if epoch % cfg.train.val_freq == 0:
-            result, losses = validate(eval_fn, state, val_loader, cfg)
+            result, losses = validate(eval_fn, state, val_loader, cfg,
+                                      n_shards=n_shards)
             last_val = result
             print(display_result(result))
             with open(log_txt, "a") as f:

@@ -202,6 +202,57 @@ def make_eval_step(model, *, decoder: str, lambda_rot: float,
     return jax.jit(eval_step, **kwargs)
 
 
+def make_eval_metrics_step(model, *, dataset: str, decoder: str,
+                           lambda_rot: float, lambda_trans: float,
+                           silog_lambda: float = 0.5,
+                           min_depth_eval: float, max_depth_eval: float,
+                           do_kb_crop: bool = True, kitti_crop=None,
+                           mesh=None, flip_tta: bool = False,
+                           shift_window: Optional[int] = None,
+                           shift_stride: Optional[int] = None):
+    """Jitted eval forward + PER-SAMPLE metric suite, mesh-shardable.
+
+    step(state, batch) -> (metrics dict of (B,) vectors, loss aux scalars).
+    Under a mesh the batch is sharded over the data axis, so validation uses
+    every chip (the plain make_eval_step path on one device left N-1 chips
+    idle — the reference equivalent validated on all DataParallel GPUs,
+    train.py:260-284). Metrics are per sample, matching the reference's
+    batch-size-1 validate protocol exactly; the host averages them, masking
+    padded tail samples by weight.
+    """
+    from mmde_tpu import metrics as M
+
+    inner = make_eval_step(model, decoder=decoder, lambda_rot=lambda_rot,
+                           lambda_trans=lambda_trans,
+                           silog_lambda=silog_lambda, mesh=None,
+                           flip_tta=flip_tta, shift_window=shift_window,
+                           shift_stride=shift_stride)
+    # reuse the un-jitted callable: jit-of-jit is fine (inner inlines)
+
+    def metrics_step(state: TrainState, batch):
+        preds, aux = inner(state, batch)
+        pred_d1 = jnp.squeeze(preds["pred_d1"], -1)
+        pred_c, gt_c, mask = M.eval_mask(
+            dataset, pred_d1, batch["depth1"],
+            min_depth_eval=min_depth_eval, max_depth_eval=max_depth_eval,
+            do_kb_crop=do_kb_crop, kitti_crop=kitti_crop)
+        depth_m = M.eval_depth_masked_per_sample(pred_c, gt_c, mask)
+        pose_m = M.eval_pose_per_sample(
+            {"R12": preds["pred_r12"], "T12": preds["pred_t12"],
+             "R21": preds.get("pred_r21"), "T21": preds.get("pred_t21")},
+            {"R12": batch["R12"], "T12": batch["T12"],
+             "R21": batch.get("R21"), "T21": batch.get("T21")})
+        return {**depth_m, **pose_m}, aux
+
+    kwargs = {}
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        dat = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, dat)
+        kwargs["out_shardings"] = (dat, rep)
+    return jax.jit(metrics_step, **kwargs)
+
+
 def make_forward(model):
     """Plain jittable inference forward (for TTA/serving)."""
 

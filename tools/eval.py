@@ -41,7 +41,8 @@ def main():
     from mmde_tpu.config import Config, load_yaml
     from mmde_tpu.models import build_model
     from mmde_tpu.train.loop import build_datasets, validate
-    from mmde_tpu.train.step import TrainState, init_model, make_eval_step
+    from mmde_tpu.train.step import (TrainState, init_model, make_eval_step,
+                                     make_eval_metrics_step)
     from mmde_tpu.train import tta
     from mmde_tpu.data.loader import DataLoader
     from mmde_tpu.utils.logging import display_result
@@ -77,8 +78,17 @@ def main():
         print(f"TTA: shift-window over {shift_window}-px crops "
               f"(ref test.py:93-115, two-frame composition)")
 
-    result, losses = validate(eval_fn, state, _limited(val_loader,
-                                                       args.max_batches), cfg)
+    metrics_fn = make_eval_metrics_step(
+        model, dataset=cfg.data.dataset, decoder=cfg.model.decoder,
+        lambda_rot=cfg.train.loss_lambda1,
+        lambda_trans=cfg.train.loss_lambda2,
+        min_depth_eval=cfg.eval.min_depth_eval,
+        max_depth_eval=cfg.eval.max_depth_eval,
+        do_kb_crop=cfg.data.do_kb_crop, kitti_crop=cfg.data.kitti_crop,
+        flip_tta=args.flip_tta, shift_window=shift_window)
+    result, losses = validate(metrics_fn, state, _limited(val_loader,
+                                                          args.max_batches),
+                              cfg)
     print(display_result(result))
     print("losses:", {k: round(v, 5) for k, v in losses.items()})
 
