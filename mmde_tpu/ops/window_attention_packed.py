@@ -80,6 +80,25 @@ DEFAULT_GRID_MODE = "window_resident"
 _m = os.environ.get("MMDE_ATTN_MXU", "auto")
 MXU_BF16_DEFAULT = "fold" if _m == "auto" else _m
 del _m
+# Max-free softmax (default on): cosine attention's logits are bounded —
+# s = scale*cos + bias + mask with cos <= ~1, bias = 16*sigmoid in (0, 16),
+# mask <= 0 — and every REAL query row contains its own diagonal
+# (cos(q, q) = 1, diagonal never masked, bias >= 0), so row_max >= scale.
+# A per-head STATIC shift of (scale + 16) therefore keeps the row max gap
+# in [-16, ~0]: exp never overflows and the max entry stays >= exp(-16),
+# so the per-row max reduction (a full (BQ, Np) VPU pass with a sequential
+# dependency before the exp, in forward AND in the backward's recompute)
+# can be deleted. Softmax is shift-invariant, so outputs and all gradient
+# formulas are unchanged in exact math (d shift/d ls contributes 0 because
+# ds rows sum to 0). All-pad q rows (bias -1e9, sliced off by the caller)
+# underflow to p = 0; a tiny denominator guard turns them into 0 output
+# instead of 0/0. MMDE_ATTN_SOFTMAX=max restores the per-row max pass.
+_s = os.environ.get("MMDE_ATTN_SOFTMAX", "maxfree")
+SOFTMAX_MAXFREE = _s != "max"
+del _s
+# Guard for all-pad rows; real rows have denom >= exp(-16) ~ 1.1e-7, so
+# the guard's relative effect on them is < 1e-23.
+_DENOM_GUARD = 1e-30
 # Candidate q-tile row counts (all 8-divisible), large to small. Large tiles
 # amortize per-cell grid overhead and the per-cell k/v re-normalization; the
 # plan takes the largest that fits the VMEM budget with minimal padding.
@@ -220,9 +239,13 @@ def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
                 jnp.float32)
         if mask is not None:
             s = s + mask
-        m = jnp.max(s, -1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, -1, keepdims=True)
+        if SOFTMAX_MAXFREE:
+            p = jnp.exp(s - (scale + 16.0))
+            denom = jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD
+        else:
+            m = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, -1, keepdims=True)
         if use_b:
             o = jax.lax.dot_general(p.astype(jnp.bfloat16),
                                     v.astype(jnp.bfloat16),
@@ -381,9 +404,13 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
                 jnp.float32)
         if mask is not None:
             s = s + mask
-        m = jnp.max(s, -1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, -1, keepdims=True)
+        if SOFTMAX_MAXFREE:
+            p = jnp.exp(s - (scale + 16.0))
+            p = p / (jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD)
+        else:
+            m = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, -1, keepdims=True)
 
         if use_b:
             grd = gr.astype(jnp.bfloat16)
@@ -513,9 +540,13 @@ def _bwd_body_v4(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
             jnp.float32)
         if mask is not None:
             s = s + mask
-        m = jnp.max(s, -1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, -1, keepdims=True)
+        if SOFTMAX_MAXFREE:
+            p = jnp.exp(s - (scale + 16.0))
+            p = p / (jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD)
+        else:
+            m = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, -1, keepdims=True)
 
         dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
