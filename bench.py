@@ -36,11 +36,13 @@ def main():
             pass
     # persistent compilation cache: first-time compiles of the flagship
     # train step take minutes through the remote-compile tunnel; cached
-    # executables make repeat benchmark runs start in seconds
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # executables make repeat benchmark runs start in seconds. Keyed per
+    # machine (utils/cache.py) so another host never attempts this host's
+    # AOT entries.
+    from mmde_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
     import jax.numpy as jnp
     from mmde_tpu.config import ModelConfig, SwinConfig
     from mmde_tpu.models import build_model

@@ -169,7 +169,7 @@ def _scale_by_tree(scales):
 
 class FusedAdamWState(NamedTuple):
     """Optimizer state of the fused update: one step counter plus first /
-    second moments stored as a single flat vector each (not per-leaf)."""
+    second moment pytrees mirroring the param tree (torch-group-like)."""
     count: jnp.ndarray
     m: jnp.ndarray
     v: jnp.ndarray
@@ -177,77 +177,62 @@ class FusedAdamWState(NamedTuple):
 
 def _fused_adamw(params, schedule, *, weight_decay: float, b1: float,
                  b2: float, eps: float, scales_tree, frozen_tree):
-    """Whole-model AdamW as ONE flat-vector update.
+    """Whole-model AdamW as ONE fused expression per parameter.
 
     Element-wise identical to the optax chain scale_by_adam ->
     add_decayed_weights(mask) -> scale-by-layer-decay -> [frozen zeroing] ->
-    scale_by_learning_rate(schedule), but computed over a single
-    concatenation of all parameters: ~5 fused HBM-streaming ops per step
-    instead of ~5 ops x n_leaves (~300 at flagship depth). The per-element
-    constants (weight-decay on/off, layer-decay lr scale, frozen 0/1) are
-    baked into two host-built vectors at construction.
+    scale_by_learning_rate(schedule), but each leaf's whole update (moment
+    updates, bias correction, weight decay, layer-decay lr scale) is a
+    single expression that XLA fuses into one HBM-streaming kernel — the
+    chain re-streamed every leaf ~5x (docs/PERF.md roadmap item 2).
 
-    Shrinks the train-step HLO (the unfused optimizer was a large share of
-    the XLA-fusion bucket, docs/PERF.md roadmap item 2) and cuts trace /
-    compile / execute cost everywhere — including the driver's 8-virtual-
-    device dryrun, where per-leaf optimizer ops dominated the step graph.
+    The per-leaf constants (weight-decay on/off, layer-decay scale, frozen
+    0/1) are python scalars baked into each leaf's expression — NOT
+    materialized n-element vectors. A first cut of this transform flattened
+    the whole model into one vector with two n-element constant multiplier
+    vectors; those were captured into the jitted step as 2.25 GB of
+    executable constants at flagship size (jax "large amount of constants"
+    warning) and re-sliced per leaf each step. Per-leaf fusion gets the
+    same HBM traffic (read g/m/v/p, write m/v/u) without the captures.
+    Scanned-stage leaves keep their tiny (depth, 1, ..) per-block scale
+    vectors (a few floats each).
     """
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    shapes = [l.shape for l in leaves]
-    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
-    dtype = leaves[0].dtype
-    assert all(l.dtype == dtype for l in leaves), \
-        "fused adamw requires a single param dtype; use fused=False"
-
-    def _const_vec(tree, default):
-        if tree is None:
-            return np.full(int(offsets[-1]), default, np.float32)
-        tl = jax.tree_util.tree_leaves(tree)
-        assert len(tl) == len(leaves)
-        return np.concatenate(
-            [np.broadcast_to(np.asarray(t, np.float32), s).reshape(-1)
-             for t, s in zip(tl, shapes)])
-
-    wd_vec = _const_vec(
-        jax.tree.map(lambda m: weight_decay if m else 0.0,
-                     weight_decay_mask(params)), weight_decay)
-    comb = _const_vec(scales_tree, 1.0)
+    wd_tree = jax.tree.map(lambda m: weight_decay if m else 0.0,
+                           weight_decay_mask(params))
+    if scales_tree is None:
+        comb_tree = jax.tree.map(lambda _: 1.0, params)
+    else:
+        comb_tree = scales_tree
     if frozen_tree is not None:
-        comb = comb * _const_vec(frozen_tree, 1.0)
-    # one fused constant multiplier; wd is folded into the same pass
-    comb_vec = jnp.asarray(comb)
-    wd_vec = jnp.asarray(wd_vec)
-
-    def flat(tree):
-        ls = jax.tree_util.tree_leaves(tree)
-        return jnp.concatenate([jnp.ravel(l) for l in ls])
-
-    def unflat(vec):
-        outs = [jax.lax.slice(vec, (int(offsets[i]),),
-                              (int(offsets[i + 1]),)).reshape(shapes[i])
-                for i in range(len(shapes))]
-        return jax.tree_util.tree_unflatten(treedef, outs)
+        # leaves are python floats or tiny (depth, 1, ..) jnp vectors
+        comb_tree = jax.tree.map(lambda s, f: s * f, comb_tree, frozen_tree)
 
     def init_fn(ps):
-        n = int(offsets[-1])
-        del ps
         return FusedAdamWState(count=jnp.zeros((), jnp.int32),
-                               m=jnp.zeros((n,), dtype),
-                               v=jnp.zeros((n,), dtype))
+                               m=jax.tree.map(jnp.zeros_like, ps),
+                               v=jax.tree.map(jnp.zeros_like, ps))
 
     def update_fn(updates, state, ps=None):
-        g = flat(updates)
-        p = flat(ps)
         count_inc = optax.safe_int32_increment(state.count)
-        m = b1 * state.m + (1.0 - b1) * g
-        v = b2 * state.v + (1.0 - b2) * (g * g)
         t = count_inc.astype(jnp.float32)
-        mhat = m / (1.0 - jnp.power(b1, t))
-        vhat = v / (1.0 - jnp.power(b2, t))
+        bc1 = 1.0 - jnp.power(b1, t)
+        bc2 = 1.0 - jnp.power(b2, t)
         lr = schedule(state.count)
-        u = (-lr) * comb_vec * (mhat / (jnp.sqrt(vhat) + eps) + wd_vec * p)
-        return unflat(u), FusedAdamWState(count=count_inc, m=m, v=v)
+
+        def leaf_m(g, m):
+            return b1 * m + (1.0 - b1) * g
+
+        def leaf_v(g, v):
+            return b2 * v + (1.0 - b2) * (g * g)
+
+        def leaf_u(m2, v2, p, wd, comb):
+            adam = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            return (-lr) * comb * (adam + wd * p)
+
+        m2 = jax.tree.map(leaf_m, updates, state.m)
+        v2 = jax.tree.map(leaf_v, updates, state.v)
+        u = jax.tree.map(leaf_u, m2, v2, ps, wd_tree, comb_tree)
+        return u, FusedAdamWState(count=count_inc, m=m2, v=v2)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
