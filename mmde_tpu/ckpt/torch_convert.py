@@ -286,6 +286,121 @@ def convert_resnet(sd: Dict[str, np.ndarray]):
 
 
 # ---------------------------------------------------------------------------
+# cnn_transformer / resnet_only encoders
+# ---------------------------------------------------------------------------
+
+def _resequence_trunk(sd: Dict[str, np.ndarray], multi_scale: bool
+                      ) -> Dict[str, np.ndarray]:
+    """Undo the reference's `nn.Sequential(*resnet.children())` slicing
+    (cnn_transformer.py:39-48): map `backbone.feature3.4.0.conv1.weight`
+    style names back to torchvision's `layer1.0.conv1.weight` so
+    convert_resnet applies unchanged."""
+    if multi_scale:
+        seq = {"feature3.0": "conv1", "feature3.1": "bn1",
+               "feature3.4": "layer1", "feature3.5": "layer2",
+               "feature4.0": "layer3", "feature5.0": "layer4"}
+    else:
+        seq = {"feature.0": "conv1", "feature.1": "bn1",
+               "feature.4": "layer1", "feature.5": "layer2",
+               "feature.6": "layer3"}
+    out = {}
+    for k, v in sd.items():
+        for src, dst in seq.items():
+            if k.startswith(src + "."):
+                out[dst + k[len(src):]] = v
+                break
+    return out
+
+
+def convert_cnn_transformer(sd: Dict[str, np.ndarray], *,
+                            multi_scale: bool = True,
+                            num_heads: Optional[int] = None):
+    """Reference cnn_transformer / resnet_only state dict -> (params,
+    batch_stats, report) matching mmde_tpu.nn.cnn_transformer naming
+    (CnnTransformer / ResNetOnly). Covers the ResNet trunk, the per-scale
+    squeeze convs + fusion (ref cnn_transformer.py:87-128), and the
+    nn.MultiheadAttention encoder layers (ref :192-231, packed in_proj
+    split into per-head q/k/v kernels)."""
+    sd = strip_prefixes(sd, ("module.",))
+    params: dict = {}
+    stats: dict = {}
+    report: List[str] = []
+
+    fe = "feature_extractor."
+    trunk_sd = {k[len(fe + "backbone."):]: v for k, v in sd.items()
+                if k.startswith(fe + "backbone.")}
+    rparams, rstats, rreport = convert_resnet(
+        _resequence_trunk(trunk_sd, multi_scale))
+    params["feature_extractor"] = {"backbone": {"trunk": rparams}}
+    stats["feature_extractor"] = {"backbone": {"trunk": rstats}}
+    report += rreport
+
+    def put(tree, path, value):
+        _set(tree, path, value, report)
+
+    def bn(dst, src):
+        put(params, dst + ("scale",), sd[src + ".weight"])
+        put(params, dst + ("bias",), sd[src + ".bias"])
+        put(stats, dst + ("mean",), sd[src + ".running_mean"])
+        put(stats, dst + ("var",), sd[src + ".running_var"])
+
+    def conv_bn_relu(dst, src):
+        put(params, dst + ("conv", "kernel"), conv_kernel(sd[src + ".conv.weight"]))
+        bn(dst + ("bn",), src + ".bn")
+
+    if multi_scale:
+        for i in (1, 2, 3):
+            for j, suffix in ((0, "a"), (1, "b")):
+                conv_bn_relu(("feature_extractor", f"squeeze{i}_{suffix}"),
+                             f"{fe}feat_squeeze{i}.{j}")
+        comb = fe + "feat_combine"
+        put(params, ("feature_extractor", "combine_a", "kernel"),
+            conv_kernel(sd[comb + ".0.weight"]))
+        put(params, ("feature_extractor", "combine_a", "bias"),
+            sd[comb + ".0.bias"])
+        bn(("feature_extractor", "BatchNorm_0"), comb + ".1")
+        put(params, ("feature_extractor", "combine_b", "kernel"),
+            conv_kernel(sd[comb + ".3.weight"]))
+        put(params, ("feature_extractor", "combine_b", "bias"),
+            sd[comb + ".3.bias"])
+    else:
+        for j, suffix in ((0, "a"), (1, "b")):
+            conv_bn_relu(("feature_extractor", f"squeeze_{suffix}"),
+                         f"{fe}feat_squeeze.{j}")
+
+    # transformer encoder layers (absent for resnet_only)
+    layer_ids = sorted({int(k.split(".")[1]) for k in sd
+                        if k.startswith("transformer_encoder.")})
+    for i in layer_ids:
+        src = f"transformer_encoder.{i}"
+        dst = (f"enc_{i}",)
+        w = sd[src + ".self_attn.in_proj_weight"]      # (3C, C), rows q;k;v
+        b = sd[src + ".self_attn.in_proj_bias"]
+        C = w.shape[1]
+        nh = num_heads if num_heads else (4 if C == 256 else 8)
+        hd = C // nh
+        for name, wi, bi in (("query", 0, 0), ("key", 1, 1), ("value", 2, 2)):
+            put(params, dst + ("self_attn", name, "kernel"),
+                w[wi * C:(wi + 1) * C].T.reshape(C, nh, hd))
+            put(params, dst + ("self_attn", name, "bias"),
+                b[bi * C:(bi + 1) * C].reshape(nh, hd))
+        ow = sd[src + ".self_attn.out_proj.weight"]    # (C, C)
+        put(params, dst + ("self_attn", "out", "kernel"),
+            ow.T.reshape(nh, hd, C))
+        put(params, dst + ("self_attn", "out", "bias"),
+            sd[src + ".self_attn.out_proj.bias"])
+        for norm in ("norm1", "norm2"):
+            put(params, dst + (norm, "scale"), sd[f"{src}.{norm}.weight"])
+            put(params, dst + (norm, "bias"), sd[f"{src}.{norm}.bias"])
+        for ffn in ("ffn1", "ffn2"):
+            put(params, dst + (ffn, "kernel"),
+                linear_kernel(sd[f"{src}.{ffn}.0.weight"]))
+            put(params, dst + (ffn, "bias"), sd[f"{src}.{ffn}.0.bias"])
+
+    return params, stats, report
+
+
+# ---------------------------------------------------------------------------
 # application
 # ---------------------------------------------------------------------------
 

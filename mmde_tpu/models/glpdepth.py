@@ -149,7 +149,10 @@ class GLPDepthScale16(nn.Module):
         # pose branch (conv stack -> pooled -> 512-wide regressors,
         # model_scale16.py:83-95,139-150)
         def conv(x, stride, name):
-            return nn.Conv(C, (3, 3), strides=(stride, stride), padding="SAME",
+            # torch-style pad (1,1): flax SAME pads (0,1) at stride 2 on
+            # even extents, shifting the grid off the reference's Conv2d
+            return nn.Conv(C, (3, 3), strides=(stride, stride),
+                           padding=((1, 1), (1, 1)),
                            kernel_init=_conv_init, dtype=dtype, name=name)(x)
 
         p = nn.relu(_bn("bn_pos0")(conv(feats_cat, 1, "pos0"), use_running_average=not train))

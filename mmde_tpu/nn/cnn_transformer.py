@@ -19,7 +19,6 @@ import math
 from typing import Any
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -74,10 +73,13 @@ class FeatureExtractorMultiScale(nn.Module):
         f4 = squeeze(f4, "squeeze2")
         f5 = squeeze(f5, "squeeze3")
 
-        B, H, W, C = f4.shape
-        # F.interpolate with no mode arg is nearest (ref :123-124)
-        f3 = jax.image.resize(f3, (B, H, W, C), method="nearest")
-        f5 = jax.image.resize(f5, (B, H, W, C), method="nearest")
+        # F.interpolate with no mode arg is nearest (ref :123-124). torch
+        # nearest maps output i -> input floor(i * in/out): for x0.5 that is
+        # every even pixel, for x2 a 2x2 pixel repeat. jax.image.resize
+        # "nearest" centers the grid (samples odd pixels on x0.5), so use
+        # exact stride-slice / repeat instead.
+        f3 = f3[:, ::2, ::2, :]
+        f5 = jnp.repeat(jnp.repeat(f5, 2, axis=1), 2, axis=2)
 
         fused = jnp.concatenate([f3, f4, f5], axis=-1)
         fused = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
@@ -120,14 +122,15 @@ class TransformerEncoderLayer(nn.Module):
             num_heads=num_heads, dtype=self.dtype, name="self_attn",
         )(inputs_q=q, inputs_k=k, inputs_v=x)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=not train)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        # torch nn.LayerNorm default eps (ref :208,215)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
 
         y = nn.Dense(self.ff_dim, dtype=self.dtype, name="ffn1")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn2")(y)
         x = x + nn.Dropout(self.dropout)(y, deterministic=not train)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
 
 
 class CnnTransformer(nn.Module):

@@ -63,7 +63,10 @@ class DecoderPose(nn.Module):
         c = feats.shape[-1]
 
         def conv(x, stride, name):
-            return nn.Conv(c, (3, 3), strides=(stride, stride), padding="SAME",
+            # torch-style pad (1,1): flax SAME pads (0,1) at stride 2 on
+            # even extents, shifting the grid off the reference's Conv2d
+            return nn.Conv(c, (3, 3), strides=(stride, stride),
+                           padding=((1, 1), (1, 1)),
                            kernel_init=_conv_init, dtype=self.dtype,
                            name=name)(x)
 

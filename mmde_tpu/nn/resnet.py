@@ -7,6 +7,11 @@ from `models.resnet50/resnet18` (cnn_transformer.py:24-83, resnet_only.py):
 
 Channel counts match torchvision so pretrained weights convert 1:1
 (ckpt/torch_convert.py): resnet50 (512, 1024, 2048); resnet18 (128, 256, 512).
+
+3x3 convs use explicit torch-style padding (1,1) rather than flax "SAME":
+for stride 2 on even extents SAME pads (0,1), which shifts the sampling
+grid one pixel off torch's — misaligning the residual add against the 1x1
+stride-2 downsample branch and breaking torchvision-weight parity.
 """
 from __future__ import annotations
 
@@ -34,11 +39,11 @@ class BasicBlock(nn.Module):
         residual = x
         ura = not train
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(_bn("bn1")(y, use_running_average=ura))
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = _bn("bn2")(y, use_running_average=ura)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
@@ -62,7 +67,7 @@ class Bottleneck(nn.Module):
                     name="conv1")(x)
         y = nn.relu(_bn("bn1")(y, use_running_average=ura))
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
         y = nn.relu(_bn("bn2")(y, use_running_average=ura))
         y = nn.Conv(4 * self.features, (1, 1), use_bias=False,

@@ -582,13 +582,17 @@ class ConvPatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
+        # torch-style pad (1,1): flax SAME pads (0,1) at stride 2 on even
+        # extents, shifting the grid off the reference's Conv2d(3,2,1)
         if self.postnorm:
-            x = nn.Conv(2 * C, (3, 3), strides=(2, 2), padding="SAME",
+            x = nn.Conv(2 * C, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="reduction")(x)
             x = LayerNormFP32(name="norm")(x)
         else:
             x = LayerNormFP32(name="norm")(x)
-            x = nn.Conv(2 * C, (3, 3), strides=(2, 2), padding="SAME",
+            x = nn.Conv(2 * C, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="reduction")(x)
         return x
 
@@ -629,8 +633,8 @@ class ResNetDLNPatchEmbed(nn.Module):
         pad_r = (4 - W % 4) % 4
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = LayerNormFP32(name="ln1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,

@@ -249,10 +249,11 @@ def build_optimizer(params, *, backbone: str, depths: Sequence[int],
     (train.py:203), so scales collapse to 1. `frozen_stages` zeroes the
     full update (Adam step + weight decay) for frozen swin subtrees.
 
-    fused=True (default) computes the whole update on one flat vector
-    (_fused_adamw; numerically identical — tests/test_optim.py pins fused
-    vs unfused to fp32 tolerance). fused=False keeps the per-leaf optax
-    chain (its optimizer state mirrors torch param-group structure 1:1).
+    fused=True (default) computes each leaf's whole update as one fused
+    expression (_fused_adamw; numerically identical — tests/test_optim.py
+    pins fused vs unfused to fp32 tolerance). fused=False keeps the
+    per-leaf optax chain (its optimizer state mirrors torch param-group
+    structure 1:1).
     """
     schedule = poly_lr_schedule(max_lr, min_lr, steps_per_epoch, epochs)
     scales_tree = None

@@ -50,6 +50,8 @@ def _load_ref(name: str):
     src = src.replace(
         "torch.log(torch.tensor(1. / 0.01).to('cuda:0'))",
         "torch.log(torch.tensor(1. / 0.01)).to(self.logit_scale.device)")
+    # same class of defect in PositionEmbeddingSine (cnn_transformer.py:171)
+    src = src.replace("dtype=torch.bool).cuda()", "dtype=torch.bool)")
     mod = types.ModuleType(mod_name)
     mod.__file__ = path
     mod.__package__ = "refmodels"
