@@ -16,14 +16,23 @@ import platform
 
 
 def machine_fingerprint() -> str:
-    """Short stable id for this machine's ISA feature set."""
+    """Short stable id for this machine's ISA feature set.
+
+    Includes model/stepping/microcode, not just the flags line: LLVM
+    derives tuning features like +prefer-no-gather from the microcode
+    revision (Downfall mitigation), so two hosts with identical cpuinfo
+    flags can still produce mutually unloadable XLA:CPU AOT entries."""
     bits = [platform.machine(), platform.system()]
     try:
+        want = ("flags", "Features", "model name", "model\t", "stepping",
+                "microcode")
+        seen = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if line.startswith(want) and key not in seen:
+                    seen.add(key)
                     bits.append(line.strip())
-                    break
     except OSError:
         pass
     try:
@@ -42,10 +51,25 @@ def cache_dir(base: str) -> str:
 
 
 def enable_persistent_cache(base: str, min_compile_secs: float = 5.0) -> None:
-    """Point jax's persistent compilation cache at the per-machine dir."""
+    """Point jax's persistent compilation cache at the right subdir.
+
+    Device-platform (TPU/axon) executables are host-independent — sharing
+    them across machines lets a fresh host reuse this one's flagship
+    train-step compile (~15 min through the remote tunnel). XLA:CPU AOT
+    entries embed host CPU tuning features, so the cpu platform gets the
+    per-machine dir. Initializes the backend to learn the platform; every
+    caller selects its platform before calling this.
+    """
     import jax
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir(base))
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    d = (cache_dir(base) if plat == "cpu"
+         else os.path.join(base, f"{plat}-{jax.__version__}"))
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_compile_secs)
     except Exception:

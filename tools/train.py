@@ -36,6 +36,15 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    # persistent compile cache: flagship-size train steps take minutes to
+    # compile through the remote TPU tunnel; cached executables make
+    # repeat runs start in seconds (same helper bench.py/entry use).
+    from mmde_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+        min_compile_secs=0.0)
+
     import dataclasses
     from mmde_tpu.config import Config, load_yaml
 
