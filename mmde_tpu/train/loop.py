@@ -39,7 +39,12 @@ def build_datasets(cfg: Config, synthetic: bool = False):
     train.py:102-108; see mmde_tpu.data for each)."""
     if synthetic or cfg.data.dataset == "synthetic":
         from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
-        train = SyntheticTwoFrameDataset(num_samples=64, height=cfg.data.crop_h,
+        # enough samples for a few steady-state print windows per epoch at
+        # the configured batch size (throughput measurement needs > one
+        # print_freq window after warmup)
+        n_train = max(64, 24 * cfg.train.batch_size)
+        train = SyntheticTwoFrameDataset(num_samples=n_train,
+                                         height=cfg.data.crop_h,
                                          width=cfg.data.crop_w,
                                          max_depth=cfg.model.max_depth)
         val = SyntheticTwoFrameDataset(num_samples=8, height=cfg.data.crop_h,
