@@ -66,9 +66,16 @@ from mmde_tpu.ops.window_attention import MAX_LOGIT_SCALE
 
 _NEG_INF = -1e9
 # Production grid order for the packed kernel (see _pallas_forward).
-# "window_resident" is the measured-stable v2; flip to "bias_resident"
-# once the v4 grid is hardware-audited + benchmarked faster.
-DEFAULT_GRID_MODE = "window_resident"
+# "window_resident" is the measured-stable v2 (per-window ds dump +
+# XLA window-sum for dbias); "split" keeps the v2 forward/grad grid but
+# computes dbias in a SECOND, dbias-only pallas pass whose grid sweeps
+# windows innermost so the fp32 dbias block accumulates across
+# CONSECUTIVE grid steps (the hardware-safe pattern) with the bias block
+# resident — deleting the (B_, nG, Np, HG*Np) ds-dump HBM write + re-read
+# (~5 GB/step at flagship bs8). "bias_resident" is the v4 single-pass
+# grid (slower, low-HBM opt-in). MMDE_ATTN_GRID overrides; read ONCE at
+# import so jit caches can't depend on a mid-process env flip.
+DEFAULT_GRID_MODE = os.environ.get("MMDE_ATTN_GRID", "window_resident")
 
 # Default kernel-body precision mode for bf16 models ("fp32" exact, "fold"
 # folded logit scale with fp32 dots, "bf16" fold + bf16 MXU operands).
@@ -440,8 +447,9 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
                 dv_ref[0, :, cs:cs + dh].astype(jnp.float32)
                 + dv_part).astype(dv_ref.dtype)
 
-        # per-window ds dump (write-once); dbias = sum_b outside
-        ds_ref[0, 0, :, t * np_:(t + 1) * np_] = ds.astype(ds_ref.dtype)
+        if ds_ref is not None:
+            # per-window ds dump (write-once); dbias = sum_b outside
+            ds_ref[0, 0, :, t * np_:(t + 1) * np_] = ds.astype(ds_ref.dtype)
 
         gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
         # d(loss)/d(ls) = sum(ds * scale * qn.kn) = sum(ds * sc)
@@ -681,8 +689,174 @@ def _pallas_backward_v4(qkv, logit_scale, bias_packed, mask, g_out,
     return dqkv, dls_out, dbias.astype(bias_packed.dtype)
 
 
+def _cell_vmem_dbias(bq: int, np_: int, hg: int) -> int:
+    """dbias-only pass: RESIDENT bias block + fp32 dbias accumulator
+    (single-buffered — their block index is constant while the inner grid
+    axes sweep), streamed k/v + q/g tiles + fp32 logits temporaries."""
+    bias = bq * hg * np_ * 4
+    dbias = bq * hg * np_ * 4
+    logits = 4 * bq * np_ * 4
+    kv = 2 * np_ * 128 * 2 * 2
+    mask = bq * np_ * 4 * 2
+    qt = 2 * bq * 128 * 4 * 2
+    return bias + dbias + logits + kv + mask + qt
+
+
+def _dbias_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
+                dbias_ref, *, hg: int, dh: int, np_: int, mxu: str,
+                inner_axes: tuple):
+    """dbias-only backward cell. The grid puts the window/sample axes
+    INNERMOST so the (g, iq)-indexed dbias block is revisited on
+    consecutive grid steps — the only accumulation pattern compiled Mosaic
+    supports (docs/PERF.md hardware audit) — and the bias input block is
+    resident (read once per (g, iq), not once per window). p is recomputed
+    with the forward's exact ops (same mxu mode) so gradients match the
+    dump-based path."""
+    fold = mxu in ("fold", "bf16")
+    use_b = mxu == "bf16"
+    g = pl.program_id(0)
+    first = pl.program_id(inner_axes[0]) == 0
+    for ax in inner_axes[1:]:
+        first = jnp.logical_and(first, pl.program_id(ax) == 0)
+
+    kbuf = k_ref[0]
+    vbuf = v_ref[0]
+    mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
+    for t in range(hg):
+        cs = t * dh
+        q = qt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+        k = kbuf[:, cs:cs + dh].astype(jnp.float32)
+        v = vbuf[:, cs:cs + dh].astype(jnp.float32)
+        gr = gt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+        qn = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
+        kn = k * jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+        ls = ls_ref[g * hg + t, 0]
+        scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
+        if fold:
+            qd = qn * scale
+            kd = kn
+            if use_b:
+                qd = qd.astype(jnp.bfloat16)
+                kd = kd.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        else:
+            s = scale * jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+        s = s + bias_ref[0][:, t * np_:(t + 1) * np_].astype(jnp.float32)
+        if mask is not None:
+            s = s + mask
+        if SOFTMAX_MAXFREE:
+            p = jnp.exp(s - (scale + 16.0))
+            p = p / (jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD)
+        else:
+            m = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, -1, keepdims=True)
+        if use_b:
+            dp = jax.lax.dot_general(gr.astype(jnp.bfloat16),
+                                     v.astype(jnp.bfloat16),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+
+        @pl.when(first)
+        def _():
+            dbias_ref[0, :, t * np_:(t + 1) * np_] = ds
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dbias_ref[0, :, t * np_:(t + 1) * np_] += ds
+
+
+def _pallas_dbias(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
+                  interpret, mxu="fp32"):
+    """dbias = sum over all windows of ds, accumulated in-kernel (fp32).
+
+    Grid: (nG, nQ, B) with the window axis innermost — or, when a SW-MSA
+    mask is present, (nG, nQ, nW, B/nW) so the mask block (indexed by the
+    window-type axis) is also resident across the per-sample sweep
+    (window partition lays windows out sample-major: b = s*nW + w)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    nH = num_heads
+    Dh = C // nH
+    _, Np, _, HG, nG, _ = attention_plan(N, nH, Dh, C)
+    CG = HG * Dh
+
+    BQ = 8
+    for d in range(8, Np + 1, 8):
+        if Np % d == 0 and _cell_vmem_dbias(d, Np, HG) <= _VMEM_BUDGET_BWD:
+            BQ = d
+    nQ = Np // BQ
+
+    ls2 = logit_scale.reshape(nH, 1).astype(jnp.float32)
+    qkv = _pad_rows(qkv, Np)
+    g_out = _pad_rows(g_out, Np)
+
+    ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if mask is not None:
+        nW = mask.shape[0]
+        if mask.shape[1] != Np:
+            mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
+                                  (0, Np - mask.shape[2])))
+        S = B // nW
+        grid = (nG, nQ, nW, S)
+        inner_axes = (2, 3)
+        bi = lambda g, iq, w, s: (s * nW + w, iq, g)          # noqa: E731
+        qt_spec = pl.BlockSpec((1, BQ, CG), bi)
+        k_spec = pl.BlockSpec((1, Np, CG),
+                              lambda g, iq, w, s: (s * nW + w, 0, nG + g))
+        v_spec = pl.BlockSpec((1, Np, CG),
+                              lambda g, iq, w, s: (s * nW + w, 0, 2 * nG + g))
+        bias_spec = pl.BlockSpec((1, BQ, HG * Np),
+                                 lambda g, iq, w, s: (g, iq, 0))
+        mask_spec = pl.BlockSpec((1, BQ, Np), lambda g, iq, w, s: (w, iq, 0))
+        dbias_spec = pl.BlockSpec((1, BQ, HG * Np),
+                                  lambda g, iq, w, s: (g, iq, 0))
+        in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec, mask_spec,
+                    qt_spec]
+        args = [ls2, qkv, qkv, qkv, bias_packed, mask, g_out]
+        body = functools.partial(_dbias_body, hg=HG, dh=Dh, np_=Np, mxu=mxu,
+                                 inner_axes=inner_axes)
+    else:
+        grid = (nG, nQ, B)
+        inner_axes = (2,)
+        qt_spec = pl.BlockSpec((1, BQ, CG), lambda g, iq, b: (b, iq, g))
+        k_spec = pl.BlockSpec((1, Np, CG), lambda g, iq, b: (b, 0, nG + g))
+        v_spec = pl.BlockSpec((1, Np, CG),
+                              lambda g, iq, b: (b, 0, 2 * nG + g))
+        bias_spec = pl.BlockSpec((1, BQ, HG * Np),
+                                 lambda g, iq, b: (g, iq, 0))
+        dbias_spec = pl.BlockSpec((1, BQ, HG * Np),
+                                  lambda g, iq, b: (g, iq, 0))
+        in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec, qt_spec]
+        args = [ls2, qkv, qkv, qkv, bias_packed, g_out]
+
+        def body(ls, qt, k, v, bias, gt, dbias):
+            _dbias_body(ls, qt, k, v, bias, None, gt, dbias,
+                        hg=HG, dh=Dh, np_=Np, mxu=mxu, inner_axes=inner_axes)
+
+    dbias = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=dbias_spec,
+        out_shape=jax.ShapeDtypeStruct(bias_packed.shape, jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        if not interpret else None,
+    )(*args)
+    return dbias.astype(bias_packed.dtype)
+
+
 def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
-                     interpret, mxu="fp32"):
+                     interpret, mxu="fp32", dump_ds=True):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nH = num_heads
@@ -711,12 +885,22 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         in_specs.append(pl.BlockSpec((1, BQ, Np),
                                      lambda b, g, iq: (b % nW, iq, 0)))
         args.append(mask)
-        body = functools.partial(_bwd_body, hg=HG, dh=Dh, np_=Np,
-                                 mxu=mxu)
+        if dump_ds:
+            body = functools.partial(_bwd_body, hg=HG, dh=Dh, np_=Np,
+                                     mxu=mxu)
+        else:
+            def body(ls, qt, k, v, bias, msk, gt, dq, dk, dv, dls):
+                _bwd_body(ls, qt, k, v, bias, msk, gt, dq, dk, dv, None,
+                          dls, hg=HG, dh=Dh, np_=Np, mxu=mxu)
     else:
-        def body(ls, qt, k, v, bias, gt, dq, dk, dv, ds, dls):
-            _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, ds, dls,
-                      hg=HG, dh=Dh, np_=Np, mxu=mxu)
+        if dump_ds:
+            def body(ls, qt, k, v, bias, gt, dq, dk, dv, ds, dls):
+                _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, ds, dls,
+                          hg=HG, dh=Dh, np_=Np, mxu=mxu)
+        else:
+            def body(ls, qt, k, v, bias, gt, dq, dk, dv, dls):
+                _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, None,
+                          dls, hg=HG, dh=Dh, np_=Np, mxu=mxu)
     in_specs.append(qt_spec)                # g tile
     args.append(g_out)
 
@@ -726,10 +910,17 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
     # bf16 adds ~0.4%*sqrt(nQ) relative rounding — bf16-training noise
     # (fp32 models keep exact fp32 accumulation; tests run fp32).
     gdt = qkv.dtype
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dq
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dk
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dv
+    ]
+    out_specs = [
+        pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g)),
+        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
+        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
+    ]
+    if dump_ds:
         # per-window ds tiles (write-once); reduced to dbias in XLA below,
         # in the INPUT dtype: fp32 models get exact fp32 RPE-bias grads,
         # bf16 models keep the halved ds_all HBM traffic (the window sum
@@ -737,32 +928,36 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         # ~0.4% relative — within bf16 gradient noise). NOTE the transient
         # ds_all HBM peak: (B_, nG, Np, HG*Np) ≈ 1.3 GB bf16 at flagship
         # stage-1 shapes (B_=192, Np=912) before the XLA reduction.
-        jax.ShapeDtypeStruct((B,) + bias_packed.shape, gdt),
-        jax.ShapeDtypeStruct((nH, 128), jnp.float32),           # dls
-    )
-    out_specs = (
-        pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g)),
-        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
-        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
-        pl.BlockSpec((1, 1, BQ, HG * Np), lambda b, g, iq: (b, g, iq, 0)),
-        pl.BlockSpec((nH, 128), lambda b, g, iq: (0, 0)),
-    )
+        # grid_mode="split" avoids both the dump and the peak.
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B,) + bias_packed.shape, gdt))
+        out_specs.append(
+            pl.BlockSpec((1, 1, BQ, HG * Np), lambda b, g, iq: (b, g, iq, 0)))
+    out_shapes.append(jax.ShapeDtypeStruct((nH, 128), jnp.float32))  # dls
+    out_specs.append(pl.BlockSpec((nH, 128), lambda b, g, iq: (0, 0)))
 
-    dq, dk, dv, ds_all, dls = pl.pallas_call(
+    outs = pl.pallas_call(
         body,
         grid=(B, nG, nQ),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024)
         if not interpret else None,
     )(*args)
+    if dump_ds:
+        dq, dk, dv, ds_all, dls = outs
+    else:
+        dq, dk, dv, dls = outs
+        ds_all = None
 
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)[:, :N]
     dls_out = dls[:, 0].reshape(logit_scale.shape).astype(logit_scale.dtype)
+    if not dump_ds:
+        return dqkv, dls_out, None
     dbias = jnp.sum(ds_all.astype(jnp.float32), axis=0)
     return dqkv, dls_out, dbias.astype(bias_packed.dtype)
 
@@ -795,6 +990,15 @@ def _packed_bwd(num_heads, interpret, grid_mode, mxu, res, g):
         # in-kernel fp32 dbias)
         dqkv, dls, dbias = _pallas_backward_v4(
             qkv, logit_scale, bias_packed, mask, g, num_heads, interpret)
+    elif grid_mode == "split":
+        # two passes: dq/dk/dv/dls on the window-resident grid WITHOUT the
+        # ds dump; dbias in a dedicated pass that accumulates in-kernel
+        # (fp32, consecutive-revisit) with the bias block resident.
+        dqkv, dls, _ = _pallas_backward(
+            qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
+            mxu, dump_ds=False)
+        dbias = _pallas_dbias(qkv, logit_scale, bias_packed, mask, g,
+                              num_heads, interpret, mxu)
     else:
         dqkv, dls, dbias = _pallas_backward(
             qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
@@ -819,9 +1023,10 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
     (nG, Np, HG*Np) from `pack_rpe_bias`; returns (B_, N, C). Falls back to
     interpret mode off-TPU so tests exercise the kernel logic on CPU.
 
-    grid_mode: "window_resident" (v2 grid) or "bias_resident" (v4 grid —
-    in-kernel fp32 dbias, no ds dump; see _pallas_forward/_bwd_body_v4).
-    Defaults to DEFAULT_GRID_MODE.
+    grid_mode: "window_resident" (v2 grid), "split" (v2 grid + dedicated
+    in-kernel-accumulated dbias pass — no ds dump), or "bias_resident"
+    (v4 single-pass grid). Defaults to DEFAULT_GRID_MODE
+    (MMDE_ATTN_GRID env).
 
     mxu: "fp32" | "fold" | "bf16" (see _fwd_body). Defaults to
     MXU_BF16_DEFAULT for bf16 inputs (MMDE_ATTN_MXU env, read at import),

@@ -52,7 +52,7 @@ def _packed(qkv, ls, bias_nnh, mask, nH, grid_mode=None):
                                           grid_mode=grid_mode)
 
 
-GRIDS = ["window_resident", "bias_resident"]
+GRIDS = ["window_resident", "bias_resident", "split"]
 
 
 @pytest.mark.parametrize("grid", GRIDS)

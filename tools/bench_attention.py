@@ -80,19 +80,44 @@ def bench_stage(key, mode, dtype=jnp.bfloat16):
         "pallas": headsplit(cosine_window_attention_pallas),
         "packed": lambda qkv: cosine_window_attention_packed(
             qkv, ls, bias_packed, mask, num_heads=nH),
+        "pk_split": lambda qkv: cosine_window_attention_packed(
+            qkv, ls, bias_packed, mask, num_heads=nH, grid_mode="split"),
+    }
+    # bwd3 differentiates wrt (qkv, logit_scale, bias) — REQUIRED when
+    # comparing dbias strategies: under grad-wrt-qkv-only XLA dead-code-
+    # eliminates the dbias reduce (dump path) or the whole dbias pass
+    # (split path), so plain bwd under-reports exactly the cost being
+    # compared. Head-split impls take the (N, N, nH) bias, packed impls
+    # the packed layout; grad sizes match across impls either way.
+    impls3 = {
+        "xla": lambda qkv, l, b: headsplit(
+            functools.partial(_xla3, l, b))(qkv),
+        "packed": lambda qkv, l, b: cosine_window_attention_packed(
+            qkv, l, b, mask, num_heads=nH),
+        "pk_split": lambda qkv, l, b: cosine_window_attention_packed(
+            qkv, l, b, mask, num_heads=nH, grid_mode="split"),
     }
 
     print(f"-- {name}: B_={B} nH={nH} N={N} C={C} "
           f"{'mask' if nW else 'nomask'} {jnp.dtype(dtype).name}")
     results = {}
-    for iname, f in impls.items():
+    for iname in (impls3 if mode == "bwd3" else impls):
         if mode == "fwd":
-            g = jax.jit(f)
+            g = jax.jit(impls[iname])
+            argv = (qkv,)
+        elif mode == "bwd3":
+            f3 = impls3[iname]
+            g = jax.jit(jax.grad(
+                lambda q, l, b: jnp.sum(f3(q, l, b).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2)))
+            argv = (qkv, ls, bias_hnn if iname == "xla" else bias_packed)
         else:
+            f = impls[iname]
             g = jax.jit(jax.grad(lambda q: jnp.sum(f(q).astype(jnp.float32)
                                                    ** 2)))
+            argv = (qkv,)
         try:
-            ms = _time(g, qkv)
+            ms = _time(g, *argv)
             results[iname] = ms
             print(f"   {iname:8s} {ms:8.3f} ms")
         except Exception as e:  # noqa: BLE001
@@ -100,13 +125,17 @@ def bench_stage(key, mode, dtype=jnp.bfloat16):
     return results
 
 
+def _xla3(ls, bias_hnn, q, k, v, ls_unused, bias_unused, mask):
+    return cosine_window_attention(q, k, v, ls, bias_hnn, mask)
+
+
 if __name__ == "__main__":
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from mmde_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"), min_compile_secs=5.0)
     args = sys.argv[1:]
-    mode = args[0] if args and args[0] in ("fwd", "bwd") else "fwd"
+    mode = args[0] if args and args[0] in ("fwd", "bwd", "bwd3") else "fwd"
     stages = [a for a in args if a in STAGES] or list(STAGES)
     print(f"backend={jax.default_backend()} mode={mode}")
     for s in stages:

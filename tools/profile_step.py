@@ -80,10 +80,11 @@ def main():
         return
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from mmde_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+        min_compile_secs=0.0)
     import jax.numpy as jnp
     from mmde_tpu.config import ModelConfig, SwinConfig
     from mmde_tpu.models import build_model
@@ -114,14 +115,16 @@ def main():
     step = make_train_step(model, tx, decoder=cfg.decoder, lambda_rot=100.0,
                            lambda_trans=100.0, donate=True)
 
-    # warm up / compile (donated input: keep chaining the state)
-    state, aux = step(state, batch)
+    # AOT-compile via the same lower().compile() flow as bench.py so the
+    # two tools share one persistent-cache entry for the flagship step.
+    compiled = step.lower(state, batch).compile()
+    state, aux = compiled(state, batch)
     float(aux["loss_total"])
 
     os.system(f"rm -rf {args.logdir}")
     jax.profiler.start_trace(args.logdir)
     for _ in range(args.steps):
-        state, aux = step(state, batch)
+        state, aux = compiled(state, batch)
     float(aux["loss_total"])
     jax.profiler.stop_trace()
 
