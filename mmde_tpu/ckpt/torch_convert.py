@@ -70,8 +70,16 @@ def conv_kernel(w: np.ndarray) -> np.ndarray:
 
 def deconv_kernel(w: np.ndarray) -> np.ndarray:
     """torch ConvTranspose2d weight (in, out, kH, kW) -> flax ConvTranspose
-    HWIO (kH, kW, in, out)."""
-    return np.transpose(w, (2, 3, 0, 1))
+    HWIO (kH, kW, in, out), SPATIALLY FLIPPED.
+
+    torch's transposed conv is the gradient of a strided correlation (taps
+    reversed); flax's ConvTranspose applies the kernel unflipped, so the
+    torch-equivalent flax kernel is the spatial reverse. Without the flip
+    every 2x2 output block of a k2s2 deconv comes out mirrored — invisible
+    to randomized eval-mode oracles (BN running stats drown the spatial
+    signal) but a real train-mode divergence (see nn.layers.torch_deconv
+    and tests/test_training_oracle.py)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def linear_kernel(w: np.ndarray) -> np.ndarray:

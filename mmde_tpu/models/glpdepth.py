@@ -25,6 +25,7 @@ from mmde_tpu.models.two_frame import (SWIN_VARIANTS, _build_encoder,
                                         resolve_attn_impl)
 from mmde_tpu.nn.swin_v2 import SwinTransformerV2
 from mmde_tpu.nn.decoders import _bn, Regression, _conv_init
+from mmde_tpu.nn.layers import torch_deconv
 
 Dtype = Any
 
@@ -41,15 +42,13 @@ class _DeconvStack(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_deconv):
-            k = self.deconv_kernels[i]
-            x = nn.ConvTranspose(self.num_filters[i], (k, k), strides=(2, 2),
-                                 padding="VALID" if k == 2 else "SAME",
-                                 use_bias=False, kernel_init=_conv_init,
-                                 dtype=self.dtype, name=f"deconv_{i}")(x)
-            x = nn.relu(_bn(f"deconv_bn_{i}")(x, use_running_average=not train))
+            x = torch_deconv(x, self.num_filters[i], self.deconv_kernels[i],
+                             dtype=self.dtype, name=f"deconv_{i}",
+                             kernel_init=_conv_init)
+            x = nn.relu(_bn(f"deconv_bn_{i}", self.dtype)(x, use_running_average=not train))
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     kernel_init=_conv_init, dtype=self.dtype, name="conv")(x)
-        return nn.relu(_bn("conv_bn")(x, use_running_average=not train))
+        return nn.relu(_bn("conv_bn", self.dtype)(x, use_running_average=not train))
 
 
 class GLPDepth(nn.Module):
@@ -155,11 +154,11 @@ class GLPDepthScale16(nn.Module):
                            padding=((1, 1), (1, 1)),
                            kernel_init=_conv_init, dtype=dtype, name=name)(x)
 
-        p = nn.relu(_bn("bn_pos0")(conv(feats_cat, 1, "pos0"), use_running_average=not train))
-        p = nn.relu(_bn("bn_pos1a")(conv(p, 2, "pos1a"), use_running_average=not train))
-        p = nn.relu(_bn("bn_pos1b")(conv(p, 1, "pos1b"), use_running_average=not train))
-        p = nn.relu(_bn("bn_pos2a")(conv(p, 2, "pos2a"), use_running_average=not train))
-        p = nn.relu(_bn("bn_pos2b")(conv(p, 1, "pos2b"), use_running_average=not train))
+        p = nn.relu(_bn("bn_pos0", dtype)(conv(feats_cat, 1, "pos0"), use_running_average=not train))
+        p = nn.relu(_bn("bn_pos1a", dtype)(conv(p, 2, "pos1a"), use_running_average=not train))
+        p = nn.relu(_bn("bn_pos1b", dtype)(conv(p, 1, "pos1b"), use_running_average=not train))
+        p = nn.relu(_bn("bn_pos2a", dtype)(conv(p, 2, "pos2a"), use_running_average=not train))
+        p = nn.relu(_bn("bn_pos2b", dtype)(conv(p, 1, "pos2b"), use_running_average=not train))
         p = jnp.mean(p, axis=(1, 2))
         rot = _WideRegression(9, dtype=dtype, name="rot_head")(p, train)
         trans = _WideRegression(3, dtype=dtype, name="trans_head")(p, train)

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from mmde_tpu.nn.layers import ConvBnRelu
+from mmde_tpu.nn.layers import ConvBnRelu, TorchBatchNorm
 from mmde_tpu.nn.resnet import ResNetMultiScale, ResNetSingleScale
 
 Dtype = Any
@@ -84,8 +84,9 @@ class FeatureExtractorMultiScale(nn.Module):
         fused = jnp.concatenate([f3, f4, f5], axis=-1)
         fused = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
                         name="combine_a")(fused)
-        fused = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32)(fused)
+        fused = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=self.dtype,
+                               name="BatchNorm_0")(fused)
         fused = nn.relu(fused)
         return nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
                        name="combine_b")(fused)

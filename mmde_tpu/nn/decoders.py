@@ -25,16 +25,22 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from mmde_tpu.geometry import normalize_rotation
+from mmde_tpu.nn.layers import TorchBatchNorm, torch_deconv
 
 Dtype = Any
 
 _conv_init = nn.initializers.normal(stddev=0.001)
 
 
-def _bn(name: str) -> nn.BatchNorm:
-    """BatchNorm factory (reference decoder init: scale=1, bias=0)."""
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
-                        name=name)
+def _bn(name: str, dtype: Dtype = jnp.float32) -> TorchBatchNorm:
+    """BatchNorm factory (reference decoder init: scale=1, bias=0);
+    torch-exact running-stat semantics (see TorchBatchNorm). Statistics and
+    normalization run in fp32 regardless of `dtype`; the OUTPUT is cast to
+    the activation dtype — fp32 outputs in a bf16 model forced every
+    downstream resize/relu/conv-input chain to fp32 (measured ~2x bytes on
+    the full-res decoder tail, docs/PERF.md round 4)."""
+    return TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype,
+                          name=name)
 
 
 class Regression(nn.Module):
@@ -71,11 +77,11 @@ class DecoderPose(nn.Module):
                            name=name)(x)
 
         ura = not train
-        x = nn.relu(_bn("bn0")(conv(feats, 1, "conv0"), use_running_average=ura))
-        x = nn.relu(_bn("bn1a")(conv(x, 2, "down1_a"), use_running_average=ura))
-        x = nn.relu(_bn("bn1b")(conv(x, 1, "down1_b"), use_running_average=ura))
-        x = nn.relu(_bn("bn2a")(conv(x, 2, "down2_a"), use_running_average=ura))
-        x = nn.relu(_bn("bn2b")(conv(x, 1, "down2_b"), use_running_average=ura))
+        x = nn.relu(_bn("bn0", self.dtype)(conv(feats, 1, "conv0"), use_running_average=ura))
+        x = nn.relu(_bn("bn1a", self.dtype)(conv(x, 2, "down1_a"), use_running_average=ura))
+        x = nn.relu(_bn("bn1b", self.dtype)(conv(x, 1, "down1_b"), use_running_average=ura))
+        x = nn.relu(_bn("bn2a", self.dtype)(conv(x, 2, "down2_a"), use_running_average=ura))
+        x = nn.relu(_bn("bn2b", self.dtype)(conv(x, 1, "down2_b"), use_running_average=ura))
 
         x = jnp.mean(x, axis=(1, 2))                       # global avg pool
         rot = Regression(9, dtype=self.dtype, name="rot_head")(x, train)
@@ -102,16 +108,14 @@ class DecoderDepth(nn.Module):
     def __call__(self, feats, train: bool = False):
         x = feats
         for i in range(self.num_deconv):
-            k = self.deconv_kernels[i]
-            x = nn.ConvTranspose(self.num_filters[i], (k, k), strides=(2, 2),
-                                 padding="VALID" if k == 2 else "SAME",
-                                 use_bias=False, kernel_init=_conv_init,
-                                 dtype=self.dtype, name=f"deconv_{i}")(x)
-            x = nn.relu(_bn(f"deconv_bn_{i}")(x, use_running_average=not train))
+            x = torch_deconv(x, self.num_filters[i], self.deconv_kernels[i],
+                             dtype=self.dtype, name=f"deconv_{i}",
+                             kernel_init=_conv_init)
+            x = nn.relu(_bn(f"deconv_bn_{i}", self.dtype)(x, use_running_average=not train))
 
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     kernel_init=_conv_init, dtype=self.dtype, name="conv")(x)
-        x = nn.relu(_bn("conv_bn")(x, use_running_average=not train))
+        x = nn.relu(_bn("conv_bn", self.dtype)(x, use_running_average=not train))
 
         for _ in range(self.num_upscale):
             B, H, W, C = x.shape

@@ -112,6 +112,86 @@ class Mlp(nn.Module):
         return x
 
 
+def torch_deconv(x, features: int, k: int, *, dtype, name: str,
+                 kernel_init) -> jnp.ndarray:
+    """torch ConvTranspose2d(k, stride=2) with exact value parity.
+
+    flax's ConvTranspose applies the kernel UNFLIPPED (lax.conv_transpose),
+    while torch's transposed conv is the gradient of a strided correlation,
+    which reverses the taps: for k=s=2 every 2x2 output block comes out
+    spatially flipped. Forward oracles missed this for two rounds because
+    randomized-BN eval suppresses the spatial signal (running stats O(1) vs
+    tiny conv outputs -> near-constant activations); train-mode BN re-
+    amplifies it, which is how the training-dynamics oracle caught it. The
+    weight converter (ckpt.torch_convert.deconv_kernel) now stores the
+    spatially flipped kernel, and this helper pins the padding geometry of
+    the reference's _get_deconv_cfg (decoder_v2.py:143-157):
+    k=2 -> pad 0 (VALID); k=4 -> pad 1 (SAME); k=3 -> pad 1 + output
+    padding 1 (VALID + leading-edge crop). All verified elementwise
+    against torch for each k.
+    """
+    if k in (2, 3):
+        pad = "VALID"
+    elif k == 4:
+        pad = "SAME"
+    else:
+        raise ValueError(f"unsupported deconv kernel {k} "
+                         "(reference _get_deconv_cfg supports 2/3/4)")
+    y = nn.ConvTranspose(features, (k, k), strides=(2, 2), padding=pad,
+                         use_bias=False, kernel_init=kernel_init,
+                         dtype=dtype, name=name)(x)
+    if k == 3:
+        y = y[:, 1:, 1:, :]
+    return y
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over the feature (last) axis with EXACT torch train-mode
+    semantics, drop-in for flax nn.BatchNorm (same param/stat names).
+
+    The one behavioral difference from flax: torch updates running_var with
+    the UNBIASED batch variance (n/(n-1), aten/native/Normalization.cpp)
+    while normalizing with the biased one; flax feeds the biased variance
+    into the EMA too. At small spatial sizes (decoder head maps) the n/(n-1)
+    factor is percent-level, which the training-dynamics oracle
+    (tests/test_training_oracle.py) resolves — so the framework's BN
+    reproduces the reference trainer's running stats exactly, not almost.
+    EMA convention is flax-style: ra = momentum*ra + (1-momentum)*new
+    (momentum=0.9 == torch momentum 0.1).
+    """
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average, use_running_average)
+        nf = x.shape[-1]
+        red = tuple(range(x.ndim - 1))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((nf,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((nf,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (nf,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (nf,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf - mean), axis=red)
+            if not self.is_initializing():
+                n = x.size // nf
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class ConvBnRelu(nn.Module):
     """Conv + BatchNorm + ReLU (reference cnn_transformer.py:8-20)."""
     features: int
@@ -124,6 +204,6 @@ class ConvBnRelu(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.strides, self.strides), padding="SAME",
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)

@@ -20,12 +20,15 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from mmde_tpu.nn.layers import TorchBatchNorm
+
 Dtype = Any
 
 
-def _bn(name: str) -> nn.BatchNorm:
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
-                        name=name)
+def _bn(name: str, dtype: Dtype = jnp.float32) -> TorchBatchNorm:
+    # stats/normalization in fp32, output cast to the activation dtype
+    return TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype,
+                          name=name)
 
 
 class BasicBlock(nn.Module):
@@ -41,15 +44,15 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.relu(_bn("bn1")(y, use_running_average=ura))
+        y = nn.relu(_bn("bn1", self.dtype)(y, use_running_average=ura))
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = _bn("bn2")(y, use_running_average=ura)
+        y = _bn("bn2", self.dtype)(y, use_running_average=ura)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
                                dtype=self.dtype, name="downsample")(x)
-            residual = _bn("downsample_bn")(residual, use_running_average=ura)
+            residual = _bn("downsample_bn", self.dtype)(residual, use_running_average=ura)
         return nn.relu(y + residual)
 
 
@@ -65,19 +68,19 @@ class Bottleneck(nn.Module):
         ura = not train
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.relu(_bn("bn1")(y, use_running_average=ura))
+        y = nn.relu(_bn("bn1", self.dtype)(y, use_running_average=ura))
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
-        y = nn.relu(_bn("bn2")(y, use_running_average=ura))
+        y = nn.relu(_bn("bn2", self.dtype)(y, use_running_average=ura))
         y = nn.Conv(4 * self.features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv3")(y)
-        y = _bn("bn3")(y, use_running_average=ura)
+        y = _bn("bn3", self.dtype)(y, use_running_average=ura)
         if residual.shape != y.shape:
             residual = nn.Conv(4 * self.features, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
                                dtype=self.dtype, name="downsample")(x)
-            residual = _bn("downsample_bn")(residual, use_running_average=ura)
+            residual = _bn("downsample_bn", self.dtype)(residual, use_running_average=ura)
         return nn.relu(y + residual)
 
 
@@ -99,7 +102,7 @@ class ResNetFeatures(nn.Module):
         block_cls, depths = _SPECS[self.model]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.relu(_bn("stem_bn")(x, use_running_average=not train))
+        x = nn.relu(_bn("stem_bn", self.dtype)(x, use_running_average=not train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = []

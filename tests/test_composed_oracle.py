@@ -205,7 +205,7 @@ class TestGLPDepthComposedOracle:
 
         args = types.SimpleNamespace(
             backbone="swin_tiny_v2", max_depth=10.0, depths=[1, 1, 1, 1],
-            window_size=[4, 4, 4, 2], pretrain_window_size=[2, 2, 2, 1],
+            window_size=[4, 4, 4, 2], pretrain_window_size=[2, 2, 2, 2],
             use_shift=[True, True, False, False], drop_path_rate=0.0,
             use_checkpoint=False, pretrained=None, num_deconv=3,
             num_filters=[32, 32, 32], deconv_kernels=[2, 2, 2])
@@ -213,7 +213,7 @@ class TestGLPDepthComposedOracle:
         _randomize(tmodel, seed=1)
 
         swin = SwinConfig(depths=(1, 1, 1, 1), window_size=(4, 4, 4, 2),
-                          pretrain_window_size=(2, 2, 2, 1),
+                          pretrain_window_size=(2, 2, 2, 2),
                           use_shift=(True, True, False, False),
                           drop_path_rate=0.0)
         cfg = ModelConfig(backbone="swin_tiny_v2", family="glpdepth",

@@ -61,7 +61,11 @@ def _load_ref(name: str):
 
 
 def _sd_numpy(model):
-    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    # .copy() matters: .numpy() VIEWS the live torch buffers, and in-place
+    # mutation (optimizer.step, BN running-stat updates) would silently
+    # corrupt any converted tree that zero-copy-aliased them.
+    return {k: v.detach().cpu().numpy().copy()
+            for k, v in model.state_dict().items()}
 
 
 # ---------------------------------------------------------------------------
