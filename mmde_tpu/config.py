@@ -20,8 +20,14 @@ class SwinConfig:
     pretrained: str = ""
     use_checkpoint: bool = False            # gradient checkpointing per stage
     # remat policy when use_checkpoint: "full" recomputes the whole block;
-    # "attn_out" saves attention outputs (skips recomputing the attention
-    # kernel during backward at the cost of one bf16 activation per block)
+    # "attn_out" saves attention outputs; "attn_qkv" additionally saves the
+    # qkv projections; "mlp_only" remats ONLY the MLP hidden activations
+    # and keeps the attention path outside any remat scope. mlp_only is the
+    # fastest measured (docs/PERF.md round 4): whole-block remat re-runs
+    # the attention forward kernel during backward replay (jax cannot
+    # dead-code a custom-VJP fwd even with its output saved), costing one
+    # extra kernel launch per block per step; memory cost is ~4C more
+    # saved activation per block.
     remat_policy: str = "full"
     depths: Tuple[int, ...] = (2, 2, 18, 2)
     window_size: Tuple[int, ...] = (30, 30, 30, 15)
@@ -179,6 +185,9 @@ def from_yaml_dict(y: dict) -> Config:
         model_scale=int(y.get("MODEL_SCALE", 16)),
         max_depth=float(y.get("MAX_DEPTH", 10.0)),
         family=y.get("FAMILY", "two_frame"),
+        # VOID depth-completion: feed the sparse depth map + validity mask
+        # alongside RGB (reference train_void_with_downscale16.py entry)
+        sparse_depth_input=bool(y.get("SPARSE_DEPTH_INPUT", False)),
         # extension keys (not in the reference schema): activation dtype and
         # attention kernel selection for TPU configs
         dtype=str(y.get("DTYPE", "float32")),

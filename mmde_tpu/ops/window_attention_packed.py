@@ -75,7 +75,12 @@ _NEG_INF = -1e9
 # (~5 GB/step at flagship bs8). "bias_resident" is the v4 single-pass
 # grid (slower, low-HBM opt-in). MMDE_ATTN_GRID overrides; read ONCE at
 # import so jit caches can't depend on a mid-process env flip.
+GRID_MODES = ("window_resident", "split", "bias_resident")
 DEFAULT_GRID_MODE = os.environ.get("MMDE_ATTN_GRID", "window_resident")
+if DEFAULT_GRID_MODE not in GRID_MODES:
+    raise ValueError(
+        f"MMDE_ATTN_GRID={DEFAULT_GRID_MODE!r} is not one of {GRID_MODES}; "
+        "a typo here would silently fall through to window_resident")
 
 # Default kernel-body precision mode for bf16 models ("fp32" exact, "fold"
 # folded logit scale with fp32 dots, "bf16" fold + bf16 MXU operands).
@@ -803,6 +808,15 @@ def _pallas_dbias(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         if mask.shape[1] != Np:
             mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
                                   (0, Np - mask.shape[2])))
+        # The (nG, nQ, nW, S) grid enumerates windows as b = s*nW + w; if
+        # B were not a multiple of nW the last B - S*nW windows would be
+        # silently DROPPED from dbias (dq/dk/dv still cover them). The
+        # model's window partition guarantees divisibility — fail loudly
+        # if that invariant is ever violated.
+        if B % nW != 0:
+            raise ValueError(
+                f"_pallas_dbias masked grid needs B % nW == 0 "
+                f"(B={B}, nW={nW}); gradients would be silently wrong")
         S = B // nW
         grid = (nG, nQ, nW, S)
         inner_axes = (2, 3)
@@ -1036,6 +1050,8 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
         interpret = not _on_tpu()
     if grid_mode is None:
         grid_mode = DEFAULT_GRID_MODE
+    elif grid_mode not in GRID_MODES:
+        raise ValueError(f"grid_mode={grid_mode!r} not in {GRID_MODES}")
     if mxu is None:
         mxu = MXU_BF16_DEFAULT if qkv.dtype == jnp.bfloat16 else "fp32"
     return _packed_op(qkv, logit_scale, bias_packed, mask, num_heads,

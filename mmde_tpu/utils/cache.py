@@ -50,6 +50,66 @@ def cache_dir(base: str) -> str:
     return d
 
 
+def prune_cache(base: str, max_bytes: int = 1536 * 1024 * 1024,
+                max_age_days: float = 14.0) -> None:
+    """Bound the persistent cache: drop stale layouts, then enforce a cap.
+
+    Removes (a) loose entries at the base root (pre-round-3 layout — they
+    are keyed neither per machine nor per platform and can never be safely
+    loaded), (b) entries older than `max_age_days` (stale fingerprints /
+    jax versions accumulate one dir per driver host otherwise), then
+    (c) oldest-mtime entries until total size <= max_bytes. Never touches
+    anything outside `base`; all errors are best-effort-ignored so cache
+    hygiene can't break a run.
+    """
+    import time
+    now = time.time()
+    entries = []          # (mtime, size, path)
+    try:
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                p = os.path.join(root, fn)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                if root == base:                    # pre-round-3 loose entry
+                    _unlink(p)
+                    continue
+                entries.append((st.st_mtime, st.st_size, p))
+    except OSError:
+        return
+    cutoff = now - max_age_days * 86400.0
+    kept, total = [], 0
+    for mtime, size, p in sorted(entries, reverse=True):
+        if mtime < cutoff:
+            _unlink(p)
+        else:
+            kept.append((mtime, size, p))
+            total += size
+    while kept and total > max_bytes:              # oldest first past the cap
+        mtime, size, p = kept.pop()
+        _unlink(p)
+        total -= size
+    # sweep now-empty subdirs (stale fingerprint/version dirs)
+    try:
+        for root, dirs, files in os.walk(base, topdown=False):
+            if root != base and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
+
+def _unlink(p: str) -> None:
+    try:
+        os.unlink(p)
+    except OSError:
+        pass
+
+
 def enable_persistent_cache(base: str, min_compile_secs: float = 5.0) -> None:
     """Point jax's persistent compilation cache at the right subdir.
 
@@ -68,6 +128,7 @@ def enable_persistent_cache(base: str, min_compile_secs: float = 5.0) -> None:
     d = (cache_dir(base) if plat == "cpu"
          else os.path.join(base, f"{plat}-{jax.__version__}"))
     os.makedirs(d, exist_ok=True)
+    prune_cache(base)
     try:
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -141,6 +141,63 @@ class TestMixedBf16DataParallel:
         _one_step(_shrunk_swin(cfg.model), batch=8, hw=(32, 32), mesh=mesh)
 
 
+class TestNyuMiniResnet:
+    """BASELINE config #1: resnet_only, NYU mini split, 240x320, batch 2 —
+    the CPU-runnable baseline (ref models/resnet_only.py wiring)."""
+
+    def test_parse(self):
+        cfg = load_yaml(os.path.join(CONFIGS, "nyu_mini_resnet.yaml"))
+        assert cfg.data.dataset == "nyudepthv2"
+        assert (cfg.data.crop_h, cfg.data.crop_w) == (240, 320)
+        assert cfg.train.batch_size == 2
+        assert cfg.model.backbone == "resnet_only_multi_scale"
+        assert cfg.model.decoder == "decoder_v2"
+        assert cfg.model.cnn.cnn_model == "resnet18"
+
+    def test_one_train_step(self):
+        cfg = load_yaml(os.path.join(CONFIGS, "nyu_mini_resnet.yaml"))
+        # resnet18 is small: run exactly as configured, input shrunk only
+        # (must stay /32-divisible for the multi-scale fusion alignment)
+        _one_step(cfg.model, batch=cfg.train.batch_size, hw=(64, 96))
+
+
+class TestVoidDownscale16Completion:
+    """BASELINE config #4 depth-completion variant: glpdepth_scale16 custom
+    network + sparse-depth fusion (ref train_void_with_downscale16.py)."""
+
+    def test_parse(self):
+        cfg = load_yaml(os.path.join(CONFIGS,
+                                     "void_downscale16_completion.yaml"))
+        assert cfg.data.dataset == "void"
+        assert cfg.model.family == "glpdepth_scale16"
+        assert cfg.model.sparse_depth_input
+        assert cfg.model.model_scale == 16
+        assert cfg.model.swin.depths == (2, 2, 18, 2)
+
+    def test_one_train_step(self):
+        cfg = load_yaml(os.path.join(CONFIGS,
+                                     "void_downscale16_completion.yaml"))
+        mcfg = _shrunk_swin(cfg.model)
+        model = build_model(mcfg)
+        ds = SyntheticTwoFrameDataset(num_samples=2, height=32, width=32,
+                                      sparse_depth=True)
+        jbatch = jax.tree.map(jnp.asarray, next(ds.batches(2, 1)))
+        assert "sparse_depth1" in jbatch
+        params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                         jbatch)
+        tx, _ = build_optimizer(params, backbone=mcfg.backbone,
+                                depths=mcfg.swin.depths, max_lr=5e-4,
+                                min_lr=3e-5, weight_decay=0.05,
+                                layer_decay=0.9, steps_per_epoch=4, epochs=2)
+        state = TrainState.create(params, batch_stats, tx,
+                                  jax.random.PRNGKey(1))
+        step = make_train_step(model, tx, decoder=mcfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0,
+                               donate=False)
+        _, aux = step(state, jbatch)
+        assert np.isfinite(float(aux["loss_total"]))
+
+
 class TestVoidCanonical:
     """BASELINE config #4 family file (already the canonical example)."""
 

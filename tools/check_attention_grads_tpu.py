@@ -108,6 +108,16 @@ def lossmakers(B, nH, N, C, mask):
                                              grid_mode="bias_resident")
         return jnp.sum(jnp.tanh(out))
 
+    def lpks(q, l, b):
+        # "split" grid: dbias in a dedicated pallas pass that accumulates
+        # in-kernel fp32 across CONSECUTIVE revisits of the (nG, nQ, [nW,]
+        # S/B) grid — the exact accumulation pattern that silently
+        # corrupted the v1 kernel on hardware while interpret mode passed.
+        bp = pack_rpe_bias(b, nG, HG, Np)
+        out = cosine_window_attention_packed(q, l, bp, mask, num_heads=nH,
+                                             grid_mode="split")
+        return jnp.sum(jnp.tanh(out))
+
     def _b(x):
         return None if x is None else x.astype(jnp.bfloat16)
 
@@ -130,7 +140,7 @@ def lossmakers(B, nH, N, C, mask):
 
     ws = int(round(N ** 0.5))
     fns = {"xla": lx, "xla_bf16": lxb, "v1": lv1, "packed": lpk,
-           "packed4": lpk4, "packed_mxu": lpkb}
+           "packed4": lpk4, "pk_split": lpks, "packed_mxu": lpkb}
     if ws * ws == N:
         hg_ng = slab_plan(ws, ws, nH, Dh, C)
         if hg_ng is not None:
