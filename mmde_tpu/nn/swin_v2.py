@@ -56,6 +56,16 @@ def relative_coords_table(window_size: Tuple[int, int],
     norm8_log_bylayer.
     """
     wh, ww = window_size
+    if table_type.endswith("_bylayer") and pretrain_window_size == 1:
+        # table /= (pretrain_window_size - 1) would divide by zero and emit
+        # NaN/inf coords under a RuntimeWarning, silently poisoning the RPE
+        # MLP. Other values (including the -1 "unset" default, which the
+        # reference divides by -2 to finite effect, ref :190-242) pass
+        # through with reference semantics.
+        raise ValueError(
+            f"table_type={table_type!r} with pretrain_window_size=1 divides "
+            "by zero; set a real pretrain window or a non-_bylayer table "
+            "type")
     ch = np.arange(-(wh - 1), wh, dtype=np.float32)
     cw = np.arange(-(ww - 1), ww, dtype=np.float32)
     table = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1)  # (2Wh-1, 2Ww-1, 2)
@@ -351,6 +361,14 @@ class SwinBlock(nn.Module):
     # are pointwise over C, hence layout-agnostic). Requires shift_size==0.
     layout: str = "map"
     num_windows: int = 1                    # nW per sample (windows layout)
+    # "mlp_only" remat: recompute ONLY the MLP hidden activations in the
+    # backward; the attention path is NOT under a remat scope. Rationale
+    # (measured, docs/PERF.md round 4): wrapping the whole block re-runs
+    # the attention FORWARD kernel during the remat replay — jax cannot
+    # dead-code a custom_vjp fwd call even when its output is saved,
+    # because the residual rebuild is atomic with it — costing one extra
+    # kernel launch per block per step (~82 ms/step at flagship bs8).
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray], dp_rate=None,
@@ -429,13 +447,14 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W, :]
 
         dp = DropPath(self.drop_path_rate)
+        mlp_cls = nn.remat(Mlp) if self.remat_mlp else Mlp
         if self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
             x = shortcut + dp(x, deterministic)
             shortcut = x
-            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
-                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
-                    name="mlp")(x, deterministic)
+            y = mlp_cls(int(C * self.mlp_ratio), dtype=self.dtype,
+                        use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                        name="mlp")(x, deterministic)
             y = LayerNormFP32(name="norm2")(y)
             x = shortcut + dp(y, deterministic)
         else:
@@ -451,9 +470,9 @@ class SwinBlock(nn.Module):
             x = shortcut + dp(gamma_1 * x, deterministic)
             shortcut = x
             y = LayerNormFP32(name="norm2")(x)
-            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
-                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
-                    name="mlp")(y, deterministic)
+            y = mlp_cls(int(C * self.mlp_ratio), dtype=self.dtype,
+                        use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                        name="mlp")(y, deterministic)
             x = shortcut + dp(gamma_2 * y, deterministic)
 
         if self.endnorm:
@@ -496,13 +515,14 @@ class SwinBlock(nn.Module):
 
         dpm = DropPath(self.drop_path_rate, window_groups=self.num_windows)
         dp = lambda v, det: dpm(v, det, rate=dp_rate)  # noqa: E731
+        mlp_cls = nn.remat(Mlp) if self.remat_mlp else Mlp
         if self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
             x = shortcut + dp(x, deterministic)
             shortcut = x
-            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
-                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
-                    name="mlp")(x, deterministic)
+            y = mlp_cls(int(C * self.mlp_ratio), dtype=self.dtype,
+                        use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                        name="mlp")(x, deterministic)
             y = LayerNormFP32(name="norm2")(y)
             x = shortcut + dp(y, deterministic)
         else:
@@ -518,9 +538,9 @@ class SwinBlock(nn.Module):
             x = shortcut + dp(gamma_1 * x, deterministic)
             shortcut = x
             y = LayerNormFP32(name="norm2")(x)
-            y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
-                    use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
-                    name="mlp")(y, deterministic)
+            y = mlp_cls(int(C * self.mlp_ratio), dtype=self.dtype,
+                        use_norm=self.use_mlp_norm, fp32_out=self.mlpfp32,
+                        name="mlp")(y, deterministic)
             x = shortcut + dp(gamma_2 * y, deterministic)
 
         if self.endnorm:
@@ -703,6 +723,7 @@ class _ScanBlockCell(nn.Module):
     dtype: Dtype = jnp.float32
     deterministic: bool = True
     num_windows: int = 1
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, rate, pad_mask=None):
@@ -719,7 +740,8 @@ class _ScanBlockCell(nn.Module):
             pretrain_window_size=self.pretrain_window_size,
             mlpfp32=False, attn_impl=self.attn_impl, dtype=self.dtype,
             deterministic=self.deterministic, layout="windows",
-            num_windows=self.num_windows, name="block",
+            num_windows=self.num_windows, remat_mlp=self.remat_mlp,
+            name="block",
         )(x, None, dp_rate=rate, pad_mask=pad_mask)
         return x, ()
 
@@ -796,8 +818,14 @@ class BasicLayer(nn.Module):
                         pad_keep_mask(H, W, Hp, Wp, ws, ss))
             x = window_partition(x, ws)                  # (B*nW, N, C)
 
+        remat_mlp = self.use_checkpoint and self.remat_policy == "mlp_only"
+
         def remat_wrap(cls):
-            if not self.use_checkpoint:
+            if not self.use_checkpoint or self.remat_policy == "mlp_only":
+                # mlp_only: the block is NOT wrapped; only its MLP remats
+                # (SwinBlock.remat_mlp). Whole-block remat replays the
+                # attention forward kernel to rebuild the custom-VJP
+                # residuals — an extra kernel launch per block per step.
                 return cls
             if self.remat_policy == "attn_out":
                 return nn.remat(
@@ -842,6 +870,7 @@ class BasicLayer(nn.Module):
                 pretrain_window_size=self.pretrain_window_size,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 deterministic=deterministic, num_windows=n_win,
+                remat_mlp=remat_mlp,
                 name="blocks_scan")(x, rates, pad_mask)
             x = window_reverse(x, ws, Hp, Wp)
             if Hp != H or Wp != W:
@@ -882,6 +911,7 @@ class BasicLayer(nn.Module):
                 deterministic=deterministic,
                 layout="windows" if windows_resident else "map",
                 num_windows=n_win if windows_resident else 1,
+                remat_mlp=remat_mlp,
                 name=f"blocks_{i}",
             )(x, mask if shift > 0 else None, None,
               (pad_mask_shifted if shift > 0 else pad_mask)

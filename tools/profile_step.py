@@ -98,7 +98,7 @@ def main():
                       use_shift=(True, True, False, False),
                       drop_path_rate=0.3, use_checkpoint=True,
                       remat_policy=os.environ.get("MMDE_BENCH_REMAT",
-                                                  "attn_out"))
+                                                  "mlp_only"))
     cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",
                       model_scale=32, max_depth=10.0, swin=swin,
                       dtype="bfloat16")
@@ -142,6 +142,7 @@ def report(args):
     # separately, never into the compute total.
     cats = defaultdict(float)
     names = defaultdict(float)
+    by_cat_event = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
     async_ms = 0.0
     for f in files:
         for plane, line, name, dur_ns in parse_xplane(f):
@@ -149,6 +150,9 @@ def report(args):
                 c = categorize(name)
                 cats[c] += dur_ns / 1e6
                 names[name.split(".")[0][:44]] += dur_ns / 1e6
+                e = by_cat_event[c][name[:140]]
+                e[0] += dur_ns / 1e6
+                e[1] += 1
             elif line == "Async XLA Ops":
                 async_ms += dur_ns / 1e6
     total = sum(cats.values())
@@ -164,6 +168,13 @@ def report(args):
     print("\n== top-20 op names (summed ms) ==")
     for k, v in sorted(names.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  {v:9.1f}  {k}")
+    for cat in ("copy", "pallas", "other", "pad", "reshape"):
+        if cat not in by_cat_event:
+            continue
+        print(f"\n== '{cat}' top events (summed ms, xN occurrences) ==")
+        evs = sorted(by_cat_event[cat].items(), key=lambda kv: -kv[1][0])
+        for k, (ms, n) in evs[:12]:
+            print(f"  {ms:9.1f} x{n:<5d} {k}")
 
 
 if __name__ == "__main__":
