@@ -101,6 +101,10 @@ class DataConfig:
     # eval crops
     do_kb_crop: bool = True
     kitti_crop: Optional[str] = None        # garg_crop | eigen_crop | None
+    # ship RGB batches as uint8 and normalize on device (u8/255 matches
+    # the host float path to <= 1 ulp): 4x fewer image host->device bytes.
+    # YAML key SHIP_UINT8 (extension; not in the reference schema).
+    ship_uint8: bool = False
 
 
 @dataclass(frozen=True)
@@ -207,6 +211,7 @@ def from_yaml_dict(y: dict) -> Config:
         # `--kitti_crop`, configs/base_options.py; absent from the reference
         # YAML schema — accepted here so KITTI eval is YAML-drivable)
         kitti_crop=y.get("KITTI_CROP", None),
+        ship_uint8=bool(y.get("SHIP_UINT8", False)),
     )
     train = TrainConfig(
         batch_size=int(y.get("BATCH_SIZE", 4)),

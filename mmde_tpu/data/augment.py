@@ -130,12 +130,18 @@ class AugmentPolicy:
     mode: str = "v2"                # "v1" train | "v2" train | "eval"
     flip_p: float = 0.5
     depth_strip_every: int = 4      # v1 only; 0 disables
+    # "float32": images leave as float32 in [0,1] (reference ToTensor
+    # semantics). "uint8": images stay uint8 and the TRAIN STEP normalizes
+    # on device (train/step.py _image) — 4x fewer host->device bytes, the
+    # binding term for multi-host input pipelines (u8/255 on device matches
+    # the host float to <= 1 ulp; see docs/PERF.md round 4).
+    output_dtype: str = "float32"
 
     def __call__(self, image, depth, rng: np.random.Generator,
                  sample_index: Optional[int] = None):
         """image uint8 HWC RGB, depth float32 HW -> (float32 HWC, float32 HW)."""
         if self.mode == "eval":
-            return to_float_chw_free(image), depth.astype(np.float32)
+            return self._out(image), depth.astype(np.float32)
 
         if self.mode == "v1":
             if self.depth_strip_every:
@@ -154,4 +160,17 @@ class AugmentPolicy:
         image = random_brightness_contrast(image, rng)
         image = random_gamma(image, rng)
         image = hsv_jitter(image, rng)
-        return to_float_chw_free(image), depth.astype(np.float32)
+        return self._out(image), depth.astype(np.float32)
+
+    def _out(self, image):
+        if self.output_dtype == "uint8":
+            if image.dtype == np.uint8:
+                return image
+            # float sources (already [0,1]) quantize exactly iff they came
+            # from uint8; guard against silent precision loss otherwise
+            q = np.round(image * 255.0)
+            if not np.array_equal(q / 255.0, image):
+                raise ValueError("output_dtype='uint8' on a non-uint8-"
+                                 "sourced float image would quantize it")
+            return q.astype(np.uint8)
+        return to_float_chw_free(image)

@@ -17,7 +17,8 @@ from mmde_tpu import geometry as geo
 class SyntheticTwoFrameDataset:
     def __init__(self, num_samples: int = 64, height: int = 96,
                  width: int = 128, max_depth: float = 10.0, seed: int = 0,
-                 imu_max_len: int = 32, sparse_depth: bool = False):
+                 imu_max_len: int = 32, sparse_depth: bool = False,
+                 uint8_images: bool = False):
         self.num_samples = num_samples
         self.height = height
         self.width = width
@@ -25,6 +26,8 @@ class SyntheticTwoFrameDataset:
         self.seed = seed
         self.imu_max_len = imu_max_len
         self.sparse_depth = sparse_depth
+        # ship uint8 RGB (device-side normalize; see train/step._image)
+        self.uint8_images = uint8_images
 
     def __len__(self):
         return self.num_samples
@@ -43,6 +46,9 @@ class SyntheticTwoFrameDataset:
 
         img1 = rng.random((H, W, 3), dtype=np.float32)
         img2 = np.clip(img1 + rng.normal(0, 0.05, img1.shape), 0, 1).astype(np.float32)
+        if self.uint8_images:
+            img1 = np.round(img1 * 255.0).astype(np.uint8)
+            img2 = np.round(img2 * 255.0).astype(np.uint8)
         depth1 = smooth_depth()
         depth2 = smooth_depth()
 

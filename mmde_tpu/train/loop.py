@@ -43,13 +43,16 @@ def build_datasets(cfg: Config, synthetic: bool = False):
         # the configured batch size (throughput measurement needs > one
         # print_freq window after warmup)
         n_train = max(64, 24 * cfg.train.batch_size)
+        u8 = cfg.data.ship_uint8
         train = SyntheticTwoFrameDataset(num_samples=n_train,
                                          height=cfg.data.crop_h,
                                          width=cfg.data.crop_w,
-                                         max_depth=cfg.model.max_depth)
+                                         max_depth=cfg.model.max_depth,
+                                         uint8_images=u8)
         val = SyntheticTwoFrameDataset(num_samples=8, height=cfg.data.crop_h,
                                        width=cfg.data.crop_w,
-                                       max_depth=cfg.model.max_depth, seed=7)
+                                       max_depth=cfg.model.max_depth, seed=7,
+                                       uint8_images=u8)
         return train, val
     if cfg.data.dataset == "void":
         from mmde_tpu.data.void_v3 import VoidV3
@@ -184,6 +187,13 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
     ckpt_dir = os.path.join(log_dir, "ckpt")
 
     train_ds, val_ds = build_datasets(cfg, synthetic)
+    if cfg.data.ship_uint8:
+        # flip the augmentation output to uint8 (4x fewer host->device
+        # bytes); the jitted steps normalize on device (train/step._image)
+        import dataclasses as _dc
+        for ds in (train_ds, val_ds):
+            if hasattr(ds, "policy"):
+                ds.policy = _dc.replace(ds.policy, output_dtype="uint8")
     train_loader = DataLoader(train_ds, cfg.train.batch_size,
                               shuffle=True, num_workers=cfg.data.workers,
                               drop_last=True, seed=cfg.train.seed)

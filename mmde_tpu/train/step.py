@@ -21,6 +21,18 @@ from mmde_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
                                     replicated_sharding)
 
 
+def _image(x):
+    """Device-side image normalization for uint8-shipped batches.
+
+    Loaders may ship RGB as uint8 (4x fewer host->device bytes; see
+    AugmentPolicy.output_dtype) — u8/255 computed on device matches the
+    host-side float32 conversion to <= 1 ulp per pixel (XLA may lower the
+    divide as a reciprocal multiply). Float batches pass through."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: core.FrozenDict
@@ -42,8 +54,8 @@ def init_model(model, rng, sample_batch, train: bool = False):
         kwargs = {"sparse1": sample_batch["sparse_depth1"],
                   "sparse2": sample_batch.get("sparse_depth2",
                                               sample_batch["sparse_depth1"])}
-    variables = model.init({"params": rng}, sample_batch["image1"],
-                           sample_batch["image2"], train, **kwargs)
+    variables = model.init({"params": rng}, _image(sample_batch["image1"]),
+                           _image(sample_batch["image2"]), train, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     return params, batch_stats
@@ -80,7 +92,7 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
                                            batch["sparse_depth1"])}
         out, mutations = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image1"], batch["image2"], True,
+            _image(batch["image1"]), _image(batch["image2"]), True,
             rngs=rngs, mutable=["batch_stats"], **kwargs)
         loss, aux = total_loss(out, batch, decoder=decoder,
                                lambda_rot=lambda_rot,
@@ -179,12 +191,12 @@ def make_eval_step(model, *, decoder: str, lambda_rot: float,
                                            batch["sparse_depth1"])}
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        out = full_forward(variables, batch["image1"], batch["image2"],
-                           **kwargs)
+        f1, f2 = _image(batch["image1"]), _image(batch["image2"])
+        out = full_forward(variables, f1, f2, **kwargs)
         if flip_tta:
             fkwargs = {k: v[:, :, ::-1] for k, v in kwargs.items()}
-            fout = full_forward(variables, batch["image1"][:, :, ::-1],
-                                batch["image2"][:, :, ::-1], **fkwargs)
+            fout = full_forward(variables, f1[:, :, ::-1], f2[:, :, ::-1],
+                                **fkwargs)
             out = dict(out)
             for k in ("pred_d1", "pred_d2"):
                 out[k] = 0.5 * (out[k] + fout[k][:, :, ::-1])

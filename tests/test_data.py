@@ -241,3 +241,81 @@ class TestNYUPairing:
             i = int(p.frame1.split("_")[-1].split(".")[0])
             j = int(p.frame2.split("_")[-1].split(".")[0])
             assert j == i + 1
+
+
+class TestUint8Shipping:
+    """uint8 batch shipping + device-side normalize (DataConfig.ship_uint8):
+    u8/255 on device must be BIT-EQUAL to the host float32 path."""
+
+    def test_synthetic_uint8_batch_matches_float(self):
+        import jax
+        import jax.numpy as jnp
+        from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+        from mmde_tpu.train.step import _image
+
+        f = SyntheticTwoFrameDataset(num_samples=2, height=32, width=48)
+        u = SyntheticTwoFrameDataset(num_samples=2, height=32, width=48,
+                                     uint8_images=True)
+        bf = next(f.batches(2, 1))
+        bu = next(u.batches(2, 1))
+        assert bu["image1"].dtype == np.uint8
+        a = np.asarray(_image(jnp.asarray(bu["image1"])))
+        # device-side u8/255 is BIT-EQUAL to the host-side float conversion
+        # of the same uint8 data (synthetic floats aren't uint8-sourced, so
+        # quantize the float reference the same way a PNG would have been)
+        np.testing.assert_array_equal(
+            a, np.round(bf["image1"] * 255.0).astype(np.float32) / 255.0)
+
+    def test_augment_policy_uint8_output(self):
+        from mmde_tpu.data import augment as aug
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        depth = rng.random((40, 50)).astype(np.float32)
+        pol = aug.AugmentPolicy(32, 32, mode="v1", output_dtype="uint8")
+        out, d = pol(img, depth, rng, sample_index=1)
+        assert out.dtype == np.uint8 and out.shape == (32, 32, 3)
+        polf = aug.AugmentPolicy(32, 32, mode="eval")
+        outf, _ = polf(img, depth, rng)
+        assert outf.dtype == np.float32
+
+    def test_train_step_loss_identical(self):
+        import jax
+        import jax.numpy as jnp
+        from mmde_tpu.config import ModelConfig, CnnTransformerConfig
+        from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+        from mmde_tpu.models import build_model
+        from mmde_tpu.train.optim import build_optimizer
+        from mmde_tpu.train.step import TrainState, init_model, \
+            make_train_step
+
+        cfg = ModelConfig(backbone="resnet_only", decoder="decoder_v1",
+                          model_scale=16, max_depth=10.0,
+                          cnn=CnnTransformerConfig(cnn_model="resnet18"),
+                          use_pallas_attention=False)
+        model = build_model(cfg)
+        fds = SyntheticTwoFrameDataset(num_samples=2, height=32, width=48)
+        uds = SyntheticTwoFrameDataset(num_samples=2, height=32, width=48,
+                                       uint8_images=True)
+        bu_np = next(uds.batches(2, 1))
+        bf_np = next(fds.batches(2, 1))
+        # float twin of the SAME uint8 pixels (host-side conversion)
+        for k in ("image1", "image2"):
+            bf_np[k] = bu_np[k].astype(np.float32) / 255.0
+        bf = jax.tree.map(jnp.asarray, bf_np)
+        bu = jax.tree.map(jnp.asarray, bu_np)
+        params, bs = init_model(model, jax.random.PRNGKey(0), bf)
+        tx, _ = build_optimizer(params, backbone=cfg.backbone,
+                                depths=(2, 2, 18, 2), max_lr=5e-4,
+                                min_lr=3e-5, weight_decay=0.05,
+                                layer_decay=0.9, steps_per_epoch=4, epochs=2)
+        state = TrainState.create(params, bs, tx, jax.random.PRNGKey(1))
+        step = make_train_step(model, tx, decoder=cfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0,
+                               donate=False)
+        _, aux_f = step(state, bf)
+        _, aux_u = step(state, bu)
+        # XLA may strength-reduce the device-side /255 to a reciprocal
+        # multiply: each pixel agrees to <= 1 ulp, not bit-exactly
+        np.testing.assert_allclose(float(aux_u["loss_total"]),
+                                   float(aux_f["loss_total"]), rtol=1e-4)
