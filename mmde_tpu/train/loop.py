@@ -177,7 +177,14 @@ def validate(metrics_step, state, val_loader, cfg: Config,
 
 def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None,
           max_steps_per_epoch: Optional[int] = None,
-          use_mesh: bool = True) -> Dict[str, float]:
+          use_mesh: bool = True,
+          prestage_batches: int = 0) -> Dict[str, float]:
+    """prestage_batches > 0: materialize that many batches ON DEVICE before
+    the loop and cycle them, removing the host producer from the epoch
+    entirely. A measurement mode (train-loop rate == chip rate even on a
+    1-core host where the producer thread would otherwise serialize with
+    the consumer — docs/PERF.md 'train loop vs bench'); epochs then train
+    on a fixed set of batches, so don't use it for real runs."""
     """Run the full training job; returns the last validation metrics."""
     log_dir = log_dir or os.path.join(cfg.log_dir, time.strftime("%m%d_%H%M%S"))
     os.makedirs(log_dir, exist_ok=True)
@@ -270,6 +277,7 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
     best = orbax_io.BestTracker(ckpt_dir)
     last_val = {}
     epoch_losses = []
+    staged: list = []                 # prestage_batches device-batch cache
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         meters = {k: AverageMeter() for k in
                   ("loss_total", "loss_depth", "loss_rotation",
@@ -296,8 +304,18 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
             drain_t0 = now
             pending.clear()
 
-        for i, batch in enumerate(
-                device_prefetch(iter(train_loader), mesh=mesh)):
+        if prestage_batches:
+            import itertools
+            if not staged:
+                for b in device_prefetch(iter(train_loader), mesh=mesh):
+                    staged.append(b)
+                    if len(staged) >= prestage_batches:
+                        break
+            batches_iter = itertools.islice(itertools.cycle(staged),
+                                            len(train_loader))
+        else:
+            batches_iter = device_prefetch(iter(train_loader), mesh=mesh)
+        for i, batch in enumerate(batches_iter):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             arrays = {k: v for k, v in batch.items()

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap steps per epoch (smoke runs)")
     p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--prestage", type=int, default=0,
+                   help="measurement mode: pre-stage N device batches and "
+                        "cycle them (removes the host producer; see "
+                        "train.loop prestage_batches)")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu / tpu)")
     args = p.parse_args()
@@ -59,7 +63,8 @@ def main():
 
     from mmde_tpu.train.loop import train
     result = train(cfg, synthetic=args.synthetic, log_dir=args.log_dir,
-                   max_steps_per_epoch=args.max_steps)
+                   max_steps_per_epoch=args.max_steps,
+                   prestage_batches=args.prestage)
     if result:
         print("final:", {k: round(v, 5) for k, v in result.items()})
 
