@@ -133,3 +133,38 @@ def test_optimizer_scanned_weight_decay_mask():
     assert not bool(blk["mlp"]["fc1"]["bias"])
     assert not bool(blk["attn"]["rpe_fc1"]["kernel"])   # NO_DECAY name
     assert bool(blk["mlp"]["fc1"]["kernel"])
+
+
+def test_remat_policies_numerically_identical():
+    """Rematerialization must never change values: loss and a gradient
+    sample agree across full / attn_out / mlp_only (and no remat) on the
+    same weights and batch. Guards the round-4 mlp_only default path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmde_tpu.nn.swin_v2 import SwinTransformerV2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3), jnp.float32)
+    ref = None
+    for use_ckpt, policy in ((False, "full"), (True, "full"),
+                             (True, "attn_out"), (True, "mlp_only")):
+        m = SwinTransformerV2(embed_dim=32, depths=(2,), num_heads=(2,),
+                              window_size=(4,), pretrain_window_size=(4,),
+                              use_shift=(True,), out_indices=(0,),
+                              use_checkpoint=use_ckpt, remat_policy=policy,
+                              attn_impl="xla")
+        v = m.init(jax.random.PRNGKey(1), x, deterministic=True)
+
+        def loss(params):
+            f = m.apply({"params": params}, x, deterministic=True)
+            return jnp.sum(f[0] ** 2)
+
+        l, g = jax.value_and_grad(loss)(v["params"])
+        gleaf = np.asarray(jax.tree_util.tree_leaves(g)[0])
+        if ref is None:
+            ref = (float(l), gleaf)
+        else:
+            np.testing.assert_allclose(float(l), ref[0], rtol=1e-6,
+                                       err_msg=f"{use_ckpt}/{policy}")
+            np.testing.assert_allclose(gleaf, ref[1], rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{use_ckpt}/{policy}")
