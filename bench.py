@@ -75,7 +75,7 @@ def main():
                           scan_blocks=os.environ.get("MMDE_BENCH_SCAN",
                                                      "0") == "1",
                           remat_policy=os.environ.get("MMDE_BENCH_REMAT",
-                                                      "mlp_only"),
+                                                      "none"),
                           resident_pad_max=float(os.environ.get(
                               "MMDE_BENCH_RESPAD", "0.15")))
         cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",

@@ -22,12 +22,14 @@ class SwinConfig:
     # remat policy when use_checkpoint: "full" recomputes the whole block;
     # "attn_out" saves attention outputs; "attn_qkv" additionally saves the
     # qkv projections; "mlp_only" remats ONLY the MLP hidden activations
-    # and keeps the attention path outside any remat scope. mlp_only is the
-    # fastest measured (docs/PERF.md round 4): whole-block remat re-runs
-    # the attention forward kernel during backward replay (jax cannot
-    # dead-code a custom-VJP fwd even with its output saved), costing one
-    # extra kernel launch per block per step; memory cost is ~4C more
-    # saved activation per block.
+    # and keeps the attention path outside any remat scope; "none" disables
+    # remat entirely (equivalent to use_checkpoint=False, as an explicit
+    # policy value so configs/env can select it). Measured at flagship bs8
+    # (docs/PERF.md round 4): none 10.30 > mlp_only 10.16 > attn_out 8.70
+    # img/s/chip — whole-block remat re-runs the attention forward kernel
+    # during backward replay (jax cannot dead-code a custom-VJP fwd even
+    # with its output saved). Memory: none fits flagship bs8 on one v5e;
+    # mlp_only is the fallback when activations don't fit.
     remat_policy: str = "full"
     depths: Tuple[int, ...] = (2, 2, 18, 2)
     window_size: Tuple[int, ...] = (30, 30, 30, 15)

@@ -821,7 +821,8 @@ class BasicLayer(nn.Module):
         remat_mlp = self.use_checkpoint and self.remat_policy == "mlp_only"
 
         def remat_wrap(cls):
-            if not self.use_checkpoint or self.remat_policy == "mlp_only":
+            if not self.use_checkpoint or self.remat_policy in ("mlp_only",
+                                                                "none"):
                 # mlp_only: the block is NOT wrapped; only its MLP remats
                 # (SwinBlock.remat_mlp). Whole-block remat replays the
                 # attention forward kernel to rebuild the custom-VJP

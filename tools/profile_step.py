@@ -98,7 +98,7 @@ def main():
                       use_shift=(True, True, False, False),
                       drop_path_rate=0.3, use_checkpoint=True,
                       remat_policy=os.environ.get("MMDE_BENCH_REMAT",
-                                                  "mlp_only"))
+                                                  "none"))
     cfg = ModelConfig(backbone="swin_base_v2", decoder="decoder_v2",
                       model_scale=32, max_depth=10.0, swin=swin,
                       dtype="bfloat16")
