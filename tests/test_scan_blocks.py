@@ -147,7 +147,8 @@ def test_remat_policies_numerically_identical():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3), jnp.float32)
     ref = None
     for use_ckpt, policy in ((False, "full"), (True, "full"),
-                             (True, "attn_out"), (True, "mlp_only")):
+                             (True, "attn_out"), (True, "mlp_only"),
+                             (True, "none")):
         m = SwinTransformerV2(embed_dim=32, depths=(2,), num_heads=(2,),
                               window_size=(4,), pretrain_window_size=(4,),
                               use_shift=(True,), out_indices=(0,),
