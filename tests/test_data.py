@@ -319,3 +319,46 @@ class TestUint8Shipping:
         # multiply: each pixel agrees to <= 1 ulp, not bit-exactly
         np.testing.assert_allclose(float(aux_u["loss_total"]),
                                    float(aux_f["loss_total"]), rtol=1e-4)
+
+    def test_uint8_batch_through_mesh_step(self):
+        """uint8 batches must survive the shard_map data-parallel lowering
+        (device_put sharding + device-side normalize inside the step)."""
+        import jax
+        import jax.numpy as jnp
+        from mmde_tpu.config import ModelConfig, CnnTransformerConfig
+        from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+        from mmde_tpu.models import build_model
+        from mmde_tpu.parallel.mesh import make_mesh, replicated_sharding, \
+            shard_batch
+        from mmde_tpu.train.optim import build_optimizer
+        from mmde_tpu.train.step import TrainState, init_model, \
+            make_train_step
+        import pytest as _pytest
+
+        if jax.device_count() < 8:
+            _pytest.skip("needs 8 (virtual) devices")
+        cfg = ModelConfig(backbone="resnet_only", decoder="decoder_v1",
+                          model_scale=16, max_depth=10.0,
+                          cnn=CnnTransformerConfig(cnn_model="resnet18"),
+                          use_pallas_attention=False)
+        model = build_model(cfg)
+        ds = SyntheticTwoFrameDataset(num_samples=8, height=32, width=48,
+                                      uint8_images=True)
+        batch = next(ds.batches(8, 1))
+        assert batch["image1"].dtype == np.uint8
+        jb = jax.tree.map(jnp.asarray, batch)
+        params, bs = init_model(model, jax.random.PRNGKey(0), jb)
+        tx, _ = build_optimizer(params, backbone=cfg.backbone,
+                                depths=(2, 2, 18, 2), max_lr=5e-4,
+                                min_lr=3e-5, weight_decay=0.05,
+                                layer_decay=0.9, steps_per_epoch=4, epochs=2)
+        mesh = make_mesh(8)
+        state = TrainState.create(params, bs, tx, jax.random.PRNGKey(1))
+        state = jax.device_put(state, replicated_sharding(mesh))
+        sb = shard_batch(jb, mesh)
+        assert sb["image1"].dtype == jnp.uint8
+        step = make_train_step(model, tx, decoder=cfg.decoder,
+                               lambda_rot=100.0, lambda_trans=100.0,
+                               donate=False, mesh=mesh)
+        _, aux = step(state, sb)
+        assert np.isfinite(float(aux["loss_total"]))
