@@ -211,7 +211,7 @@ def pack_rpe_bias(bias_nnh: jnp.ndarray, ng: int, hg: int,
 
 
 def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
-              *, hg: int, dh: int, np_: int, g_axis: int = 1,
+              rden_ref=None, *, hg: int, dh: int, np_: int, g_axis: int = 1,
               mxu: str = "fp32"):
     """mxu: "fp32" — exact fp32 pipeline (fp32 models; tested bit-stable);
     "fold" — fold the logit scale into q before the QK dot (one fewer
@@ -267,6 +267,12 @@ def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
             o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         out_ref[0, :, cs:cs + dh] = (o / denom).astype(out_ref.dtype)
+        if rden_ref is not None:
+            # reciprocal denominators for the backward (softmax-denominator
+            # save, maxfree mode): the bwd forms p = exp(s - shift) * r
+            # instead of re-reducing the (BQ, Np) row sums. The forward
+            # OUTPUT keeps the o/denom division above bit-for-bit.
+            rden_ref[0, 0, :, t:t + 1] = 1.0 / denom
 
 
 def _pad_rows(x, np_, value=0.0):
@@ -278,7 +284,7 @@ def _pad_rows(x, np_, value=0.0):
 
 def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
                     interpret, grid_mode="window_resident",
-                    mxu="fp32"):
+                    mxu="fp32", want_denom=False):
     """grid_mode:
       "window_resident" (v2): grid (B, nG, nQ), iq innermost — the k/v
         window blocks stay resident across q tiles, the RPE bias block is
@@ -330,30 +336,59 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
     if mask is not None:
         in_specs.append(pl.BlockSpec((1, BQ, Np), mask_idx))
         args.append(mask)
-        body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np,
-                                 g_axis=g_axis, mxu=mxu)
+        if want_denom:
+            body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np,
+                                     g_axis=g_axis, mxu=mxu)
+        else:
+            def body(ls, qt, k, v, bias, msk, out):
+                _fwd_body(ls, qt, k, v, bias, msk, out, None,
+                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu)
     else:
-        def body(ls, qt, k, v, bias, out):
-            _fwd_body(ls, qt, k, v, bias, None, out, hg=HG, dh=Dh, np_=Np,
-                      g_axis=g_axis, mxu=mxu)
+        if want_denom:
+            def body(ls, qt, k, v, bias, out, rden):
+                _fwd_body(ls, qt, k, v, bias, None, out, rden,
+                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu)
+        else:
+            def body(ls, qt, k, v, bias, out):
+                _fwd_body(ls, qt, k, v, bias, None, out, None,
+                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu)
 
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((1, BQ, CG), qt_idx)
+    out_shapes = jax.ShapeDtypeStruct((B, Np, C), qkv.dtype)
+    if want_denom:
+        # reciprocal row denominators, (nG, B, Np, HG) fp32 — the head
+        # group on the LEADING axis so the lane dimension (HG) is the full
+        # final array dim (Mosaic requires lane blocks be full-dim or
+        # 128-divisible); block (1, 1, BQ, HG) per grid cell
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, BQ, HG),
+                                  (lambda g, iq, b: (g, b, iq, 0))
+                                  if g_axis == 0 else
+                                  (lambda b, g, iq: (g, b, iq, 0))))
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct((nG, B, Np, HG), jnp.float32))
+
+    outs = pl.pallas_call(
         body,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, BQ, CG), qt_idx),
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024)
         if not interpret else None,
     )(*args)
+    if want_denom:
+        out, rden = outs
+        return (out[:, :N] if Np != N else out), rden
+    out = outs
     return out[:, :N] if Np != N else out
 
 
-def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
-              dq_ref, dk_ref, dv_ref, ds_ref, dls_ref,
+def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, rden_ref,
+              gt_ref, dq_ref, dk_ref, dv_ref, ds_ref, dls_ref,
               *, hg: int, dh: int, np_: int, mxu: str = "fp32"):
     """Backward cell. Correctness constraint (measured on hardware,
     tools/check_attention_grads_tpu.py): compiled Mosaic only supports
@@ -416,7 +451,14 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
                 jnp.float32)
         if mask is not None:
             s = s + mask
-        if SOFTMAX_MAXFREE:
+        if rden_ref is not None:
+            # softmax-denominator save (maxfree only): the forward's
+            # reciprocal row sums are residuals, so the (BQ, Np) re-reduce
+            # and the division both collapse to one broadcast multiply.
+            # p differs from the recompute path by <= 1 ulp (x*(1/d) vs
+            # x/d); gradients carry fp32-noise-level changes only.
+            p = jnp.exp(s - (scale + 16.0)) * rden_ref[0, 0][:, t:t + 1]
+        elif SOFTMAX_MAXFREE:
             p = jnp.exp(s - (scale + 16.0))
             p = p / (jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD)
         else:
@@ -870,7 +912,7 @@ def _pallas_dbias(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
 
 
 def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
-                     interpret, mxu="fp32", dump_ds=True):
+                     interpret, mxu="fp32", dump_ds=True, rden=None):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nH = num_heads
@@ -899,22 +941,33 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         in_specs.append(pl.BlockSpec((1, BQ, Np),
                                      lambda b, g, iq: (b % nW, iq, 0)))
         args.append(mask)
+    if rden is not None:
+        # fwd's reciprocal row denominators, (nG, B, Np, HG); the fwd may
+        # tile rows differently (its own BQ) but writes every row once, so
+        # the bwd's (1, 1, BQ, HG) blocks line up on the same array.
+        in_specs.append(pl.BlockSpec((1, 1, BQ, HG),
+                                     lambda b, g, iq: (g, b, iq, 0)))
+        args.append(rden)
+
+    has_mask = mask is not None
+    has_rden = rden is not None
+
+    def body(*refs):
+        ls, qt, k, v, bias = refs[:5]
+        i = 5
+        msk = refs[i] if has_mask else None
+        i += 1 if has_mask else 0
+        rd = refs[i] if has_rden else None
+        i += 1 if has_rden else 0
+        gt = refs[i]
+        outs = refs[i + 1:]
         if dump_ds:
-            body = functools.partial(_bwd_body, hg=HG, dh=Dh, np_=Np,
-                                     mxu=mxu)
+            dq, dk, dv, ds, dls = outs
         else:
-            def body(ls, qt, k, v, bias, msk, gt, dq, dk, dv, dls):
-                _bwd_body(ls, qt, k, v, bias, msk, gt, dq, dk, dv, None,
-                          dls, hg=HG, dh=Dh, np_=Np, mxu=mxu)
-    else:
-        if dump_ds:
-            def body(ls, qt, k, v, bias, gt, dq, dk, dv, ds, dls):
-                _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, ds, dls,
-                          hg=HG, dh=Dh, np_=Np, mxu=mxu)
-        else:
-            def body(ls, qt, k, v, bias, gt, dq, dk, dv, dls):
-                _bwd_body(ls, qt, k, v, bias, None, gt, dq, dk, dv, None,
-                          dls, hg=HG, dh=Dh, np_=Np, mxu=mxu)
+            dq, dk, dv, dls = outs
+            ds = None
+        _bwd_body(ls, qt, k, v, bias, msk, rd, gt, dq, dk, dv, ds, dls,
+                  hg=HG, dh=Dh, np_=Np, mxu=mxu)
     in_specs.append(qt_spec)                # g tile
     args.append(g_out)
 
@@ -992,13 +1045,24 @@ def _packed_op(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
 
 def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
                 grid_mode, mxu):
-    out = _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                          interpret, grid_mode, mxu)
-    return out, (qkv, logit_scale, bias_packed, mask)
+    # maxfree softmax: also emit the reciprocal row denominators so the
+    # backward skips its (BQ, Np) softmax re-reduce (tiny residual:
+    # (B_, Np, nH) fp32). The v4 bias_resident backward keeps its own
+    # exact-fp32 pipeline and ignores them.
+    want = SOFTMAX_MAXFREE and grid_mode != "bias_resident"
+    if want:
+        out, rden = _pallas_forward(qkv, logit_scale, bias_packed, mask,
+                                    num_heads, interpret, grid_mode, mxu,
+                                    want_denom=True)
+    else:
+        out = _pallas_forward(qkv, logit_scale, bias_packed, mask,
+                              num_heads, interpret, grid_mode, mxu)
+        rden = None
+    return out, (qkv, logit_scale, bias_packed, mask, rden)
 
 
 def _packed_bwd(num_heads, interpret, grid_mode, mxu, res, g):
-    qkv, logit_scale, bias_packed, mask = res
+    qkv, logit_scale, bias_packed, mask, rden = res
     if grid_mode == "bias_resident":
         # v4 opt-in keeps the exact fp32 backward (its selling point is
         # in-kernel fp32 dbias)
@@ -1010,13 +1074,13 @@ def _packed_bwd(num_heads, interpret, grid_mode, mxu, res, g):
         # (fp32, consecutive-revisit) with the bias block resident.
         dqkv, dls, _ = _pallas_backward(
             qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
-            mxu, dump_ds=False)
+            mxu, dump_ds=False, rden=rden)
         dbias = _pallas_dbias(qkv, logit_scale, bias_packed, mask, g,
                               num_heads, interpret, mxu)
     else:
         dqkv, dls, dbias = _pallas_backward(
             qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
-            mxu)
+            mxu, rden=rden)
     return dqkv, dls, dbias, None
 
 
