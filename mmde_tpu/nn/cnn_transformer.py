@@ -77,9 +77,18 @@ class FeatureExtractorMultiScale(nn.Module):
         # nearest maps output i -> input floor(i * in/out): for x0.5 that is
         # every even pixel, for x2 a 2x2 pixel repeat. jax.image.resize
         # "nearest" centers the grid (samples odd pixels on x0.5), so use
-        # exact stride-slice / repeat instead.
+        # exact stride-slice / repeat instead, then align both to f4's grid.
+        # At /32-divisible inputs the align is a no-op (XLA drops the
+        # identity slice) and the result is bit-equal to the reference; at
+        # other sizes the reference's torch.cat CRASHES on the off-by-one
+        # (e.g. H=240: f4 15 rows vs f5 upsampled 16) — cropping to f4 is
+        # torch-nearest-exact there too (floor(i*in/out) of an up-by-2
+        # resize to an odd target is repeat-2 truncated).
         f3 = f3[:, ::2, ::2, :]
         f5 = jnp.repeat(jnp.repeat(f5, 2, axis=1), 2, axis=2)
+        Hf, Wf = f4.shape[1], f4.shape[2]
+        f3 = f3[:, :Hf, :Wf, :]
+        f5 = f5[:, :Hf, :Wf, :]
 
         fused = jnp.concatenate([f3, f4, f5], axis=-1)
         fused = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,

@@ -36,6 +36,11 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from mmde_tpu.nn.layers import DropPath, LayerNormFP32, Mlp, trunc_normal_init
+
+# The full set of gradient-checkpointing policies BasicLayer understands;
+# anything else raises loudly (matching the MMDE_ATTN_GRID / grid_mode
+# guards) instead of silently running whole-block remat.
+_REMAT_POLICIES = ("full", "attn_out", "attn_qkv", "mlp_only", "none")
 from mmde_tpu.ops.window_attention import (
     cosine_window_attention, scaled_window_attention)
 
@@ -447,7 +452,12 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W, :]
 
         dp = DropPath(self.drop_path_rate)
-        mlp_cls = nn.remat(Mlp) if self.remat_mlp else Mlp
+        # static_argnums=(2,): `deterministic` (arg 2 counting module self)
+        # must stay a Python bool through jax.checkpoint — flax Dropout only
+        # short-circuits a traced bool when its rate is 0.0, so Mlp dropout
+        # > 0 under mlp_only remat would otherwise ConcretizationTypeError.
+        mlp_cls = (nn.remat(Mlp, static_argnums=(2,))
+                   if self.remat_mlp else Mlp)
         if self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
             x = shortcut + dp(x, deterministic)
@@ -515,7 +525,12 @@ class SwinBlock(nn.Module):
 
         dpm = DropPath(self.drop_path_rate, window_groups=self.num_windows)
         dp = lambda v, det: dpm(v, det, rate=dp_rate)  # noqa: E731
-        mlp_cls = nn.remat(Mlp) if self.remat_mlp else Mlp
+        # static_argnums=(2,): `deterministic` (arg 2 counting module self)
+        # must stay a Python bool through jax.checkpoint — flax Dropout only
+        # short-circuits a traced bool when its rate is 0.0, so Mlp dropout
+        # > 0 under mlp_only remat would otherwise ConcretizationTypeError.
+        mlp_cls = (nn.remat(Mlp, static_argnums=(2,))
+                   if self.remat_mlp else Mlp)
         if self.postnorm:
             x = LayerNormFP32(name="norm1")(x)
             x = shortcut + dp(x, deterministic)
@@ -818,6 +833,11 @@ class BasicLayer(nn.Module):
                         pad_keep_mask(H, W, Hp, Wp, ws, ss))
             x = window_partition(x, ws)                  # (B*nW, N, C)
 
+        if self.remat_policy not in _REMAT_POLICIES:
+            raise ValueError(
+                f"unknown remat_policy {self.remat_policy!r}; expected one of "
+                f"{_REMAT_POLICIES} (a typo would otherwise silently fall "
+                "back to whole-block remat)")
         remat_mlp = self.use_checkpoint and self.remat_policy == "mlp_only"
 
         def remat_wrap(cls):

@@ -179,13 +179,14 @@ def train(cfg: Config, *, synthetic: bool = False, log_dir: Optional[str] = None
           max_steps_per_epoch: Optional[int] = None,
           use_mesh: bool = True,
           prestage_batches: int = 0) -> Dict[str, float]:
-    """prestage_batches > 0: materialize that many batches ON DEVICE before
+    """Run the full training job; returns the last validation metrics.
+
+    prestage_batches > 0: materialize that many batches ON DEVICE before
     the loop and cycle them, removing the host producer from the epoch
     entirely. A measurement mode (train-loop rate == chip rate even on a
     1-core host where the producer thread would otherwise serialize with
     the consumer — docs/PERF.md 'train loop vs bench'); epochs then train
     on a fixed set of batches, so don't use it for real runs."""
-    """Run the full training job; returns the last validation metrics."""
     log_dir = log_dir or os.path.join(cfg.log_dir, time.strftime("%m%d_%H%M%S"))
     os.makedirs(log_dir, exist_ok=True)
     writer = ScalarWriter(log_dir)

@@ -56,15 +56,20 @@ def prune_cache(base: str, max_bytes: int = 1536 * 1024 * 1024,
 
     Removes (a) loose entries at the base root (pre-round-3 layout — they
     are keyed neither per machine nor per platform and can never be safely
-    loaded), (b) entries older than `max_age_days` (stale fingerprints /
-    jax versions accumulate one dir per driver host otherwise), then
-    (c) oldest-mtime entries until total size <= max_bytes. Never touches
-    anything outside `base`; all errors are best-effort-ignored so cache
-    hygiene can't break a run.
+    loaded), (b) whole platform/fingerprint SUBDIRS whose *newest* entry is
+    older than `max_age_days` (stale fingerprints / jax versions accumulate
+    one dir per driver host otherwise), then (c) oldest-mtime entries until
+    total size <= max_bytes. Age is keyed per subdir, not per file: JAX
+    cache *hits* never bump mtime, so a per-file cutoff would evict the
+    entries of a stable, daily-read model and silently recompile it — a dir
+    is stale only when nothing in it has been (re)compiled for the window.
+    Never touches anything outside `base`; all errors are
+    best-effort-ignored so cache hygiene can't break a run.
     """
     import time
     now = time.time()
-    entries = []          # (mtime, size, path)
+    entries = []          # (mtime, size, path, topdir)
+    newest_in_dir = {}    # top-level subdir -> newest entry mtime
     try:
         for root, _dirs, files in os.walk(base):
             for fn in files:
@@ -76,13 +81,17 @@ def prune_cache(base: str, max_bytes: int = 1536 * 1024 * 1024,
                 if root == base:                    # pre-round-3 loose entry
                     _unlink(p)
                     continue
-                entries.append((st.st_mtime, st.st_size, p))
+                rel = os.path.relpath(root, base)
+                top = rel.split(os.sep)[0]
+                newest_in_dir[top] = max(newest_in_dir.get(top, 0.0),
+                                         st.st_mtime)
+                entries.append((st.st_mtime, st.st_size, p, top))
     except OSError:
         return
     cutoff = now - max_age_days * 86400.0
     kept, total = [], 0
-    for mtime, size, p in sorted(entries, reverse=True):
-        if mtime < cutoff:
+    for mtime, size, p, top in sorted(entries, reverse=True):
+        if newest_in_dir.get(top, 0.0) < cutoff:   # whole subdir is stale
             _unlink(p)
         else:
             kept.append((mtime, size, p))

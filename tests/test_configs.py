@@ -157,8 +157,16 @@ class TestNyuMiniResnet:
     def test_one_train_step(self):
         cfg = load_yaml(os.path.join(CONFIGS, "nyu_mini_resnet.yaml"))
         # resnet18 is small: run exactly as configured, input shrunk only
-        # (must stay /32-divisible for the multi-scale fusion alignment)
         _one_step(cfg.model, batch=cfg.train.batch_size, hw=(64, 96))
+
+    def test_one_train_step_non_div32_crop(self):
+        # The SHIPPED crop (240x320) is NOT /32-divisible: the multi-scale
+        # fusion aligns f3/f5 to f4's grid (round 5 — the reference's own
+        # torch.cat crashes on the off-by-one here, cnn_transformer.py:
+        # 123-126, so its multi_scale encoders only ever ran at /32 crops).
+        # 48x64 reproduces the same ragged case (H/32 = 1.5) CPU-cheaply.
+        cfg = load_yaml(os.path.join(CONFIGS, "nyu_mini_resnet.yaml"))
+        _one_step(cfg.model, batch=2, hw=(48, 64))
 
 
 class TestVoidDownscale16Completion:

@@ -37,6 +37,35 @@ def test_grid_mode_typo_rejected():
                                            grid_mode="bias-resident")
 
 
+def test_remat_policy_typo_rejected():
+    # a typo like 'mlponly' used to silently fall back to whole-block
+    # remat (numerically identical, ~15% slower) — now a hard error.
+    import jax
+    import jax.numpy as jnp
+    layer = sw.BasicLayer(dim=32, depth=1, num_heads=2, window_size=4,
+                          use_checkpoint=True, remat_policy="mlponly",
+                          pretrain_window_size=2)
+    x = jnp.zeros((1, 8, 8, 32), jnp.float32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        layer.init(jax.random.PRNGKey(0), x)
+
+
+def test_prune_cache_keeps_read_only_entries_in_active_dirs(tmp_path):
+    # JAX cache hits never bump mtime: an entry older than max_age_days in
+    # a dir that also has fresh writes must survive (stable daily-read
+    # model). Only a dir whose NEWEST entry is past the cutoff is stale.
+    base = tmp_path / "jc"
+    plat = base / "tpu-9.9.9"
+    plat.mkdir(parents=True)
+    old = plat / "stable_model_entry"
+    old.write_bytes(b"x" * 100)
+    os.utime(old, (time.time() - 30 * 86400,) * 2)
+    fresh = plat / "fresh_entry"
+    fresh.write_bytes(b"x" * 100)
+    cache_mod.prune_cache(str(base), max_bytes=10_000, max_age_days=14)
+    assert old.exists() and fresh.exists()
+
+
 def test_prune_cache_bounds_and_layouts(tmp_path):
     base = tmp_path / "jc"
     plat = base / "tpu-9.9.9"
