@@ -18,7 +18,7 @@ class SyntheticTwoFrameDataset:
     def __init__(self, num_samples: int = 64, height: int = 96,
                  width: int = 128, max_depth: float = 10.0, seed: int = 0,
                  imu_max_len: int = 32, sparse_depth: bool = False,
-                 uint8_images: bool = False):
+                 uint8_images: bool = False, depth_cue: bool = False):
         self.num_samples = num_samples
         self.height = height
         self.width = width
@@ -28,6 +28,12 @@ class SyntheticTwoFrameDataset:
         self.sparse_depth = sparse_depth
         # ship uint8 RGB (device-side normalize; see train/step._image)
         self.uint8_images = uint8_images
+        # depth_cue: embed depth/max in the red channel (plus noise) so the
+        # depth task is LEARNABLE from RGB — the convergence gate
+        # (tools/convergence_gate.py) trains on this and must clear the
+        # metric suite on held-out samples. Default synthetic data keeps
+        # depth independent of RGB (only memorizable, not learnable).
+        self.depth_cue = depth_cue
 
     def __len__(self):
         return self.num_samples
@@ -46,11 +52,23 @@ class SyntheticTwoFrameDataset:
 
         img1 = rng.random((H, W, 3), dtype=np.float32)
         img2 = np.clip(img1 + rng.normal(0, 0.05, img1.shape), 0, 1).astype(np.float32)
+        depth1 = smooth_depth()
+        depth2 = smooth_depth()
+        if self.depth_cue:
+            def cue(img, depth):
+                img = img.copy()
+                r = (depth / (self.max_depth * 1.1)).astype(np.float32)
+                noise = rng.normal(0, 0.01, r.shape).astype(np.float32)
+                # invalid (0) pixels keep the random channel — the loss
+                # masks them, the model sees them as clutter
+                img[..., 0] = np.where(depth > 0,
+                                       np.clip(r + noise, 0, 1), img[..., 0])
+                return img
+            img1 = cue(img1, depth1)
+            img2 = cue(img2, depth2)
         if self.uint8_images:
             img1 = np.round(img1 * 255.0).astype(np.uint8)
             img2 = np.round(img2 * 255.0).astype(np.uint8)
-        depth1 = smooth_depth()
-        depth2 = smooth_depth()
 
         w = rng.standard_normal(3) * 0.1
         t = rng.standard_normal(3) * 0.05

@@ -115,6 +115,31 @@ _DENOM_GUARD = 1e-30
 # amortize per-cell grid overhead and the per-cell k/v re-normalization; the
 # plan takes the largest that fits the VMEM budget with minimal padding.
 _BQ_CANDIDATES = (456, 384, 304, 232, 152, 120, 80, 48, 40)
+# Windows per grid cell (round 5) — BUILT, A/B-MEASURED, STAYS OFF.
+# Theory: the roofline (tools/roofline.py) initially showed the kernels at
+# 1.4x their no-overlap compute bound; packing W windows into one cell
+# divides the per-window RPE-bias re-stream and the cell count by W (the
+# cell loads W k/v window blocks — resident across q-tiles as before —
+# against ONE bias block; masked stages need W | nW so a (W, BQ, Np) mask
+# block covers aligned window types, window order being sample-major).
+# Measured at bs8 flagship stages (docs/PERF.md round 5): W=2 412 ms,
+# W=4 434 ms, auto(3/4) 451 ms vs 405 ms at W=1 — SLOWER at every W.
+# Root cause of the apparent gap: a ~2.2 ms fixed per-DISPATCH floor in
+# the measurement harness plus XLA-side reduce/concat time; corrected,
+# the W=1 kernels already sit within 5-11% of their serial compute bound,
+# so there was no bias-DMA stall to recover and fatter cells only eat
+# Mosaic's double-buffering headroom. Default is W=1; MMDE_ATTN_W=auto/N
+# keeps the machinery testable (read once at import so jit caches can't
+# depend on a mid-process flip).
+_w_env = os.environ.get("MMDE_ATTN_W", "1")
+if _w_env != "auto":
+    try:
+        _ = int(_w_env)
+    except ValueError:
+        raise ValueError(f"MMDE_ATTN_W={_w_env!r} must be 'auto' or an int")
+WINDOWS_PER_CELL = _w_env
+del _w_env
+_W_CANDIDATES = (8, 6, 4, 3, 2)
 # Per-cell VMEM budgets (bytes). Tuned by on-hardware sweep (v5e): BQ=304
 # tiles (these budgets) beat BQ=152 by ~25% on the backward and ~10% on the
 # forward at w30 stages; larger tiles were noise-prone or mixed. The
@@ -137,6 +162,51 @@ def _cell_vmem(bq: int, np_: int, hg: int, bwd: bool) -> int:
         extra = bq * hg * np_ * 2 * 2       # ds dump block (bf16)
         extra += 2 * np_ * 128 * 4 * 2      # dk/dv fp32 blocks
     return bias + logits + kv + mask + extra
+
+
+def _cell_vmem_w(bq: int, np_: int, hg: int, bwd: bool, w: int,
+                 masked: bool) -> int:
+    """Per-cell VMEM estimate for a W-window cell: one double-buffered bias
+    block + fp32 logits temporaries (sequential per window, unscaled) +
+    W copies of the per-window working set."""
+    bias = bq * hg * np_ * 4 * 2
+    logits = (3 if not bwd else 5) * bq * np_ * 4
+    per_w = 2 * np_ * 128 * 2 * 2          # k/v blocks
+    if masked:
+        per_w += bq * np_ * 4 * 2          # mask block
+    per_w += 3 * bq * 128 * 4              # q / out (/ g) tiles
+    if bwd:
+        per_w += bq * hg * np_ * 2 * 2     # ds dump block
+        per_w += 2 * np_ * 128 * 4 * 2     # dk/dv accumulators
+    return bias + logits + w * per_w
+
+
+# W-cell budgets are LARGER than the per-window budgets (the whole point is
+# fatter cells; v5e has 128 MB VMEM and vmem_limit_bytes is raised to
+# 100 MB below). Tuned by on-hardware A/B (docs/PERF.md round 5).
+_VMEM_BUDGET_FWD_W = 40 * 1024 * 1024
+_VMEM_BUDGET_BWD_W = 48 * 1024 * 1024
+
+
+def _choose_w(B: int, nW: int, bq: int, np_: int, hg: int,
+              bwd: bool, override=None) -> int:
+    """Windows per cell: largest candidate dividing B (and nW when a mask
+    is present, nW > 0) whose W-cell fits the W budget. 1 = the round-4
+    layout. `override`: explicit per-call setting ("auto"/int), else the
+    module default (MMDE_ATTN_W)."""
+    setting = WINDOWS_PER_CELL if override is None else str(override)
+    if setting != "auto":
+        w = int(setting)
+        if w <= 1 or B % w or (nW and nW % w):
+            return 1
+        return w
+    budget = _VMEM_BUDGET_BWD_W if bwd else _VMEM_BUDGET_FWD_W
+    for w in _W_CANDIDATES:
+        if B % w or (nW and nW % w):
+            continue
+        if _cell_vmem_w(bq, np_, hg, bwd, w, masked=nW > 0) <= budget:
+            return w
+    return 1
 
 
 def _largest_fitting_divisor(np_: int, hg: int, bwd: bool) -> int:
@@ -212,67 +282,72 @@ def pack_rpe_bias(bias_nnh: jnp.ndarray, ng: int, hg: int,
 
 def _fwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
               rden_ref=None, *, hg: int, dh: int, np_: int, g_axis: int = 1,
-              mxu: str = "fp32"):
+              mxu: str = "fp32", w: int = 1):
     """mxu: "fp32" — exact fp32 pipeline (fp32 models; tested bit-stable);
     "fold" — fold the logit scale into q before the QK dot (one fewer
     (BQ, Np) logits pass; fp32 dots); "bf16" — fold + run the two matmuls
     with bf16 operands (fp32 accumulate) for native-rate MXU at ~0.4% logit
     rounding (bf16 models only — their operands are already bf16-rounded).
     The backward recomputes p with the SAME ops so forward and backward see
-    identical probabilities."""
+    identical probabilities. w: windows per cell — the bias block is loaded
+    once and reused for all w windows (see _W_CANDIDATES note)."""
     fold = mxu in ("fold", "bf16")
     use_b = mxu == "bf16"
     g = pl.program_id(g_axis)
-    kbuf = k_ref[0]
-    vbuf = v_ref[0]
-    mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
-    for t in range(hg):
-        cs = t * dh
-        q = qt_ref[0][:, cs:cs + dh].astype(jnp.float32)
-        k = kbuf[:, cs:cs + dh].astype(jnp.float32)
-        v = vbuf[:, cs:cs + dh].astype(jnp.float32)
-        qn = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
-        kn = k * jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
-        ls = ls_ref[g * hg + t, 0]
-        scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
-        if fold:
-            qd = qn * scale
-            kd = kn
+    for wi in range(w):
+        kbuf = k_ref[wi]
+        vbuf = v_ref[wi]
+        mask = (mask_ref[wi].astype(jnp.float32)
+                if mask_ref is not None else None)
+        for t in range(hg):
+            cs = t * dh
+            q = qt_ref[wi][:, cs:cs + dh].astype(jnp.float32)
+            k = kbuf[:, cs:cs + dh].astype(jnp.float32)
+            v = vbuf[:, cs:cs + dh].astype(jnp.float32)
+            qn = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
+            kn = k * jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+            ls = ls_ref[g * hg + t, 0]
+            scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
+            if fold:
+                qd = qn * scale
+                kd = kn
+                if use_b:
+                    qd = qd.astype(jnp.bfloat16)
+                    kd = kd.astype(jnp.bfloat16)
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                    jnp.float32)
+            else:
+                s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                    jnp.float32)
+            if mask is not None:
+                s = s + mask
+            if SOFTMAX_MAXFREE:
+                p = jnp.exp(s - (scale + 16.0))
+                denom = jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD
+            else:
+                m = jnp.max(s, -1, keepdims=True)
+                p = jnp.exp(s - m)
+                denom = jnp.sum(p, -1, keepdims=True)
             if use_b:
-                qd = qd.astype(jnp.bfloat16)
-                kd = kd.astype(jnp.bfloat16)
-            s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s + bias_ref[0][:, t * np_:(t + 1) * np_].astype(jnp.float32)
-        else:
-            s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s * scale + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
-                jnp.float32)
-        if mask is not None:
-            s = s + mask
-        if SOFTMAX_MAXFREE:
-            p = jnp.exp(s - (scale + 16.0))
-            denom = jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD
-        else:
-            m = jnp.max(s, -1, keepdims=True)
-            p = jnp.exp(s - m)
-            denom = jnp.sum(p, -1, keepdims=True)
-        if use_b:
-            o = jax.lax.dot_general(p.astype(jnp.bfloat16),
-                                    v.astype(jnp.bfloat16),
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        else:
-            o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        out_ref[0, :, cs:cs + dh] = (o / denom).astype(out_ref.dtype)
-        if rden_ref is not None:
-            # reciprocal denominators for the backward (softmax-denominator
-            # save, maxfree mode): the bwd forms p = exp(s - shift) * r
-            # instead of re-reducing the (BQ, Np) row sums. The forward
-            # OUTPUT keeps the o/denom division above bit-for-bit.
-            rden_ref[0, 0, :, t:t + 1] = 1.0 / denom
+                o = jax.lax.dot_general(p.astype(jnp.bfloat16),
+                                        v.astype(jnp.bfloat16),
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            else:
+                o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            out_ref[wi, :, cs:cs + dh] = (o / denom).astype(out_ref.dtype)
+            if rden_ref is not None:
+                # reciprocal denominators for the backward (softmax-
+                # denominator save, maxfree mode): the bwd forms
+                # p = exp(s - shift) * r instead of re-reducing the
+                # (BQ, Np) row sums. The forward OUTPUT keeps the o/denom
+                # division above bit-for-bit.
+                rden_ref[0, wi, :, t:t + 1] = 1.0 / denom
 
 
 def _pad_rows(x, np_, value=0.0):
@@ -284,7 +359,7 @@ def _pad_rows(x, np_, value=0.0):
 
 def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
                     interpret, grid_mode="window_resident",
-                    mxu="fp32", want_denom=False):
+                    mxu="fp32", want_denom=False, wpc=None):
     """grid_mode:
       "window_resident" (v2): grid (B, nG, nQ), iq innermost — the k/v
         window blocks stay resident across q tiles, the RPE bias block is
@@ -309,6 +384,7 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
     nW = mask.shape[0] if mask is not None else 0
 
     if grid_mode == "bias_resident":
+        W = 1
         grid = (nG, nQ, B)
         g_axis = 0
         qt_idx = lambda g, iq, b: (b, iq, g)                  # noqa: E731
@@ -316,55 +392,62 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
         v_idx = lambda g, iq, b: (b, 0, 2 * nG + g)           # noqa: E731
         bias_idx = lambda g, iq, b: (g, iq, 0)                # noqa: E731
         mask_idx = lambda g, iq, b: (b % nW, iq, 0)           # noqa: E731
+        rden_idx = lambda g, iq, b: (g, b, iq, 0)             # noqa: E731
     else:
-        grid = (B, nG, nQ)
+        # W windows per cell: block shapes carry W on the window axis; the
+        # index lambdas are unchanged because block indices are in units
+        # of the block shape (cell b covers windows b*W .. b*W + W - 1).
+        W = _choose_w(B, nW if mask is not None else 0, BQ, Np, HG,
+                      bwd=False, override=wpc)
+        grid = (B // W, nG, nQ)
         g_axis = 1
         qt_idx = lambda b, g, iq: (b, iq, g)                  # noqa: E731
         k_idx = lambda b, g, iq: (b, 0, nG + g)               # noqa: E731
         v_idx = lambda b, g, iq: (b, 0, 2 * nG + g)           # noqa: E731
         bias_idx = lambda b, g, iq: (g, iq, 0)                # noqa: E731
-        mask_idx = lambda b, g, iq: (b % nW, iq, 0)           # noqa: E731
+        # mask block (W, BQ, Np): W divides nW (guaranteed by _choose_w)
+        # and windows are sample-major, so cell b covers the aligned mask
+        # rows (b % (nW/W)) * W .. + W - 1
+        mask_idx = lambda b, g, iq: (b % (nW // W), iq, 0) if nW else 0  # noqa: E731,E501
+        rden_idx = lambda b, g, iq: (g, b, iq, 0)             # noqa: E731
 
     ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    qt_spec = pl.BlockSpec((1, BQ, CG), qt_idx)
-    k_spec = pl.BlockSpec((1, Np, CG), k_idx)
-    v_spec = pl.BlockSpec((1, Np, CG), v_idx)
+    qt_spec = pl.BlockSpec((W, BQ, CG), qt_idx)
+    k_spec = pl.BlockSpec((W, Np, CG), k_idx)
+    v_spec = pl.BlockSpec((W, Np, CG), v_idx)
     bias_spec = pl.BlockSpec((1, BQ, HG * Np), bias_idx)
     in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec]
     args = [ls2, qkv, qkv, qkv, bias_packed]
 
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, BQ, Np), mask_idx))
+        in_specs.append(pl.BlockSpec((W, BQ, Np), mask_idx))
         args.append(mask)
         if want_denom:
             body = functools.partial(_fwd_body, hg=HG, dh=Dh, np_=Np,
-                                     g_axis=g_axis, mxu=mxu)
+                                     g_axis=g_axis, mxu=mxu, w=W)
         else:
             def body(ls, qt, k, v, bias, msk, out):
                 _fwd_body(ls, qt, k, v, bias, msk, out, None,
-                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu)
+                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu, w=W)
     else:
         if want_denom:
             def body(ls, qt, k, v, bias, out, rden):
                 _fwd_body(ls, qt, k, v, bias, None, out, rden,
-                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu)
+                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu, w=W)
         else:
             def body(ls, qt, k, v, bias, out):
                 _fwd_body(ls, qt, k, v, bias, None, out, None,
-                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu)
+                          hg=HG, dh=Dh, np_=Np, g_axis=g_axis, mxu=mxu, w=W)
 
-    out_specs = pl.BlockSpec((1, BQ, CG), qt_idx)
+    out_specs = pl.BlockSpec((W, BQ, CG), qt_idx)
     out_shapes = jax.ShapeDtypeStruct((B, Np, C), qkv.dtype)
     if want_denom:
         # reciprocal row denominators, (nG, B, Np, HG) fp32 — the head
         # group on the LEADING axis so the lane dimension (HG) is the full
         # final array dim (Mosaic requires lane blocks be full-dim or
-        # 128-divisible); block (1, 1, BQ, HG) per grid cell
+        # 128-divisible); block (1, W, BQ, HG) per grid cell
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1, BQ, HG),
-                                  (lambda g, iq, b: (g, b, iq, 0))
-                                  if g_axis == 0 else
-                                  (lambda b, g, iq: (g, b, iq, 0))))
+                     pl.BlockSpec((1, W, BQ, HG), rden_idx))
         out_shapes = (out_shapes,
                       jax.ShapeDtypeStruct((nG, B, Np, HG), jnp.float32))
 
@@ -389,7 +472,7 @@ def _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
 
 def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, rden_ref,
               gt_ref, dq_ref, dk_ref, dv_ref, ds_ref, dls_ref,
-              *, hg: int, dh: int, np_: int, mxu: str = "fp32"):
+              *, hg: int, dh: int, np_: int, mxu: str = "fp32", w: int = 1):
     """Backward cell. Correctness constraint (measured on hardware,
     tools/check_attention_grads_tpu.py): compiled Mosaic only supports
     output-block accumulation across CONSECUTIVE grid steps, so dk/dv
@@ -397,7 +480,7 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, rden_ref,
     each cell dumps its ds tile (write-once) and the caller reduces over
     windows in XLA. The dls block's index never changes, so it is never
     flushed and accumulates safely across all cells. `mxu` as in
-    _fwd_body."""
+    _fwd_body; `w` = windows per cell (one bias load serves all w)."""
     fold = mxu in ("fold", "bf16")
     use_b = mxu == "bf16"
     b = pl.program_id(0)
@@ -412,135 +495,142 @@ def _bwd_body(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, rden_ref,
     def _():
         dls_ref[:, :] = jnp.zeros(dls_ref.shape, jnp.float32)
 
-    kbuf = k_ref[0]
-    vbuf = v_ref[0]
-    mask = mask_ref[0].astype(jnp.float32) if mask_ref is not None else None
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    for t in range(hg):
-        cs = t * dh
-        q = qt_ref[0][:, cs:cs + dh].astype(jnp.float32)
-        k = kbuf[:, cs:cs + dh].astype(jnp.float32)
-        v = vbuf[:, cs:cs + dh].astype(jnp.float32)
-        gr = gt_ref[0][:, cs:cs + dh].astype(jnp.float32)
+    for wi in range(w):
+        kbuf = k_ref[wi]
+        vbuf = v_ref[wi]
+        mask = (mask_ref[wi].astype(jnp.float32)
+                if mask_ref is not None else None)
 
-        rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
-        rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
-        qn = q * rq
-        kn = k * rk
+        for t in range(hg):
+            cs = t * dh
+            q = qt_ref[wi][:, cs:cs + dh].astype(jnp.float32)
+            k = kbuf[:, cs:cs + dh].astype(jnp.float32)
+            v = vbuf[:, cs:cs + dh].astype(jnp.float32)
+            gr = gt_ref[wi][:, cs:cs + dh].astype(jnp.float32)
 
-        ls = ls_ref[g * hg + t, 0]
-        scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
-        if fold:
-            # recompute p with the forward's exact ops (folded scale, and
-            # bf16 MXU operands in "bf16" mode) so fwd/bwd p agree
-            qd = qn * scale
-            kd = kn
+            rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-12)
+            rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-12)
+            qn = q * rq
+            kn = k * rk
+
+            ls = ls_ref[g * hg + t, 0]
+            scale = jnp.exp(jnp.minimum(ls, MAX_LOGIT_SCALE))
+            if fold:
+                # recompute p with the forward's exact ops (folded scale,
+                # and bf16 MXU operands in "bf16" mode) so fwd/bwd p agree
+                qd = qn * scale
+                kd = kn
+                if use_b:
+                    qd = qd.astype(jnp.bfloat16)
+                    kd = kd.astype(jnp.bfloat16)
+                sc = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                s = sc + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                    jnp.float32)
+            else:
+                c = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                sc = c * scale
+                s = sc + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
+                    jnp.float32)
+            if mask is not None:
+                s = s + mask
+            if rden_ref is not None:
+                # softmax-denominator save (maxfree only): the forward's
+                # reciprocal row sums are residuals, so the (BQ, Np)
+                # re-reduce and the division both collapse to one
+                # broadcast multiply. p differs from the recompute path by
+                # <= 1 ulp (x*(1/d) vs x/d); gradients carry
+                # fp32-noise-level changes only.
+                p = jnp.exp(s - (scale + 16.0)) * rden_ref[0, wi][:, t:t + 1]
+            elif SOFTMAX_MAXFREE:
+                p = jnp.exp(s - (scale + 16.0))
+                p = p / (jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD)
+            else:
+                m = jnp.max(s, -1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, -1, keepdims=True)
+
             if use_b:
-                qd = qd.astype(jnp.bfloat16)
-                kd = kd.astype(jnp.bfloat16)
-            sc = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            s = sc + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
-                jnp.float32)
-        else:
-            c = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            sc = c * scale
-            s = sc + bias_ref[0][:, t * np_:(t + 1) * np_].astype(
-                jnp.float32)
-        if mask is not None:
-            s = s + mask
-        if rden_ref is not None:
-            # softmax-denominator save (maxfree only): the forward's
-            # reciprocal row sums are residuals, so the (BQ, Np) re-reduce
-            # and the division both collapse to one broadcast multiply.
-            # p differs from the recompute path by <= 1 ulp (x*(1/d) vs
-            # x/d); gradients carry fp32-noise-level changes only.
-            p = jnp.exp(s - (scale + 16.0)) * rden_ref[0, 0][:, t:t + 1]
-        elif SOFTMAX_MAXFREE:
-            p = jnp.exp(s - (scale + 16.0))
-            p = p / (jnp.sum(p, -1, keepdims=True) + _DENOM_GUARD)
-        else:
-            m = jnp.max(s, -1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, -1, keepdims=True)
+                grd = gr.astype(jnp.bfloat16)
+                dp = jax.lax.dot_general(grd, v.astype(jnp.bfloat16),
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            else:
+                dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
 
-        if use_b:
-            grd = gr.astype(jnp.bfloat16)
-            dp = jax.lax.dot_general(grd, v.astype(jnp.bfloat16),
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        else:
-            dp = jax.lax.dot_general(gr, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+            if use_b:
+                dv_part = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), grd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dv_part = jax.lax.dot_general(
+                    p, gr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        if use_b:
-            dv_part = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), grd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            dv_part = jax.lax.dot_general(p, gr, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+            @pl.when(first_iq)
+            def _():
+                dv_ref[wi, :, cs:cs + dh] = dv_part.astype(dv_ref.dtype)
 
-        @pl.when(first_iq)
-        def _():
-            dv_ref[0, :, cs:cs + dh] = dv_part.astype(dv_ref.dtype)
+            @pl.when(jnp.logical_not(first_iq))
+            def _():
+                dv_ref[wi, :, cs:cs + dh] = (
+                    dv_ref[wi, :, cs:cs + dh].astype(jnp.float32)
+                    + dv_part).astype(dv_ref.dtype)
 
-        @pl.when(jnp.logical_not(first_iq))
-        def _():
-            dv_ref[0, :, cs:cs + dh] = (
-                dv_ref[0, :, cs:cs + dh].astype(jnp.float32)
-                + dv_part).astype(dv_ref.dtype)
+            if ds_ref is not None:
+                # per-window ds dump (write-once); dbias = sum_b outside
+                ds_ref[wi, 0, :, t * np_:(t + 1) * np_] = ds.astype(
+                    ds_ref.dtype)
 
-        if ds_ref is not None:
-            # per-window ds dump (write-once); dbias = sum_b outside
-            ds_ref[0, 0, :, t * np_:(t + 1) * np_] = ds.astype(ds_ref.dtype)
+            gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
+            # d(loss)/d(ls) = sum(ds * scale * qn.kn) = sum(ds * sc)
+            dls_val = jnp.sum(ds * sc) * gate
+            dls_ref[pl.ds(g * hg + t, 1), :] += jnp.where(lane == 0,
+                                                          dls_val, 0.0)
 
-        gate = (ls < MAX_LOGIT_SCALE).astype(jnp.float32)
-        # d(loss)/d(ls) = sum(ds * scale * qn.kn) = sum(ds * sc)
-        dls_val = jnp.sum(ds * sc) * gate
-        dls_ref[pl.ds(g * hg + t, 1), :] += jnp.where(lane == 0, dls_val, 0.0)
+            if use_b:
+                dsd = ds.astype(jnp.bfloat16)
+                dqn = scale * jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dqn = scale * jax.lax.dot_general(
+                    ds, kn, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dq = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
+            dq_ref[wi, :, cs:cs + dh] = dq.astype(dq_ref.dtype)
 
-        if use_b:
-            dsd = ds.astype(jnp.bfloat16)
-            dqn = scale * jax.lax.dot_general(
-                dsd, kd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            dqn = scale * jax.lax.dot_general(
-                ds, kn, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dq = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
-        dq_ref[0, :, cs:cs + dh] = dq.astype(dq_ref.dtype)
+            if fold:
+                # qd carries the folded scale: dot(ds, qd) = scale * ds.qn
+                dkn_part = jax.lax.dot_general(
+                    dsd if use_b else ds, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dkn_part = scale * jax.lax.dot_general(
+                    ds, qn, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        if fold:
-            # qd carries the folded scale: dot(ds, qd) = scale * ds.qn
-            dkn_part = jax.lax.dot_general(
-                dsd if use_b else ds, qd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            dkn_part = scale * jax.lax.dot_general(
-                ds, qn, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            @pl.when(first_iq)
+            def _():
+                dk_ref[wi, :, cs:cs + dh] = dkn_part.astype(dk_ref.dtype)
 
-        @pl.when(first_iq)
-        def _():
-            dk_ref[0, :, cs:cs + dh] = dkn_part.astype(dk_ref.dtype)
+            @pl.when(jnp.logical_not(first_iq))
+            def _():
+                dk_ref[wi, :, cs:cs + dh] = (
+                    dk_ref[wi, :, cs:cs + dh].astype(jnp.float32)
+                    + dkn_part).astype(dk_ref.dtype)
 
-        @pl.when(jnp.logical_not(first_iq))
-        def _():
-            dk_ref[0, :, cs:cs + dh] = (
-                dk_ref[0, :, cs:cs + dh].astype(jnp.float32)
-                + dkn_part).astype(dk_ref.dtype)
-
-        @pl.when(last_iq)
-        def _():
-            dkn = dk_ref[0, :, cs:cs + dh].astype(jnp.float32)
-            dk_ref[0, :, cs:cs + dh] = (rk * (
-                dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True))
-            ).astype(dk_ref.dtype)
+            @pl.when(last_iq)
+            def _():
+                dkn = dk_ref[wi, :, cs:cs + dh].astype(jnp.float32)
+                dk_ref[wi, :, cs:cs + dh] = (rk * (
+                    dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True))
+                ).astype(dk_ref.dtype)
 
 
 def _bwd_body_v4(ls_ref, qt_ref, k_ref, v_ref, bias_ref, mask_ref, gt_ref,
@@ -912,7 +1002,8 @@ def _pallas_dbias(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
 
 
 def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
-                     interpret, mxu="fp32", dump_ds=True, rden=None):
+                     interpret, mxu="fp32", dump_ds=True, rden=None,
+                     wpc=None):
     B, N, C3 = qkv.shape
     C = C3 // 3
     nH = num_heads
@@ -925,10 +1016,13 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
     qkv = _pad_rows(qkv, Np)
     g_out = _pad_rows(g_out, Np)
 
+    nW_m = mask.shape[0] if mask is not None else 0
+    W = _choose_w(B, nW_m, BQ, Np, HG, bwd=True, override=wpc)
+
     ls_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    qt_spec = pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g))
-    k_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, nG + g))
-    v_spec = pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, 2 * nG + g))
+    qt_spec = pl.BlockSpec((W, BQ, CG), lambda b, g, iq: (b, iq, g))
+    k_spec = pl.BlockSpec((W, Np, CG), lambda b, g, iq: (b, 0, nG + g))
+    v_spec = pl.BlockSpec((W, Np, CG), lambda b, g, iq: (b, 0, 2 * nG + g))
     bias_spec = pl.BlockSpec((1, BQ, HG * Np), lambda b, g, iq: (g, iq, 0))
     in_specs = [ls_spec, qt_spec, k_spec, v_spec, bias_spec]
     args = [ls2, qkv, qkv, qkv, bias_packed]
@@ -938,14 +1032,17 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         if mask.shape[1] != Np:
             mask = jnp.pad(mask, ((0, 0), (0, Np - mask.shape[1]),
                                   (0, Np - mask.shape[2])))
-        in_specs.append(pl.BlockSpec((1, BQ, Np),
-                                     lambda b, g, iq: (b % nW, iq, 0)))
+        # (W, BQ, Np) block: W | nW (enforced by _choose_w), windows are
+        # sample-major, so cell b covers aligned mask rows
+        in_specs.append(pl.BlockSpec(
+            (W, BQ, Np), lambda b, g, iq: (b % (nW // W), iq, 0)))
         args.append(mask)
     if rden is not None:
         # fwd's reciprocal row denominators, (nG, B, Np, HG); the fwd may
-        # tile rows differently (its own BQ) but writes every row once, so
-        # the bwd's (1, 1, BQ, HG) blocks line up on the same array.
-        in_specs.append(pl.BlockSpec((1, 1, BQ, HG),
+        # tile rows/windows differently (its own BQ and W) but writes
+        # every row once, so the bwd's (1, W, BQ, HG) blocks line up on
+        # the same array.
+        in_specs.append(pl.BlockSpec((1, W, BQ, HG),
                                      lambda b, g, iq: (g, b, iq, 0)))
         args.append(rden)
 
@@ -967,7 +1064,7 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
             dq, dk, dv, dls = outs
             ds = None
         _bwd_body(ls, qt, k, v, bias, msk, rd, gt, dq, dk, dv, ds, dls,
-                  hg=HG, dh=Dh, np_=Np, mxu=mxu)
+                  hg=HG, dh=Dh, np_=Np, mxu=mxu, w=W)
     in_specs.append(qt_spec)                # g tile
     args.append(g_out)
 
@@ -983,9 +1080,9 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         jax.ShapeDtypeStruct((B, Np, C), gdt),                  # dv
     ]
     out_specs = [
-        pl.BlockSpec((1, BQ, CG), lambda b, g, iq: (b, iq, g)),
-        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
-        pl.BlockSpec((1, Np, CG), lambda b, g, iq: (b, 0, g)),
+        pl.BlockSpec((W, BQ, CG), lambda b, g, iq: (b, iq, g)),
+        pl.BlockSpec((W, Np, CG), lambda b, g, iq: (b, 0, g)),
+        pl.BlockSpec((W, Np, CG), lambda b, g, iq: (b, 0, g)),
     ]
     if dump_ds:
         # per-window ds tiles (write-once); reduced to dbias in XLA below,
@@ -999,13 +1096,13 @@ def _pallas_backward(qkv, logit_scale, bias_packed, mask, g_out, num_heads,
         out_shapes.append(
             jax.ShapeDtypeStruct((B,) + bias_packed.shape, gdt))
         out_specs.append(
-            pl.BlockSpec((1, 1, BQ, HG * Np), lambda b, g, iq: (b, g, iq, 0)))
+            pl.BlockSpec((W, 1, BQ, HG * Np), lambda b, g, iq: (b, g, iq, 0)))
     out_shapes.append(jax.ShapeDtypeStruct((nH, 128), jnp.float32))  # dls
     out_specs.append(pl.BlockSpec((nH, 128), lambda b, g, iq: (0, 0)))
 
     outs = pl.pallas_call(
         body,
-        grid=(B, nG, nQ),
+        grid=(B // W, nG, nQ),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
@@ -1036,15 +1133,15 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _packed_op(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
-               grid_mode, mxu):
+               grid_mode, mxu, wpc):
     return _pallas_forward(qkv, logit_scale, bias_packed, mask, num_heads,
-                           interpret, grid_mode, mxu)
+                           interpret, grid_mode, mxu, wpc=wpc)
 
 
 def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
-                grid_mode, mxu):
+                grid_mode, mxu, wpc):
     # maxfree softmax: also emit the reciprocal row denominators so the
     # backward skips its (BQ, Np) softmax re-reduce (tiny residual:
     # (B_, Np, nH) fp32). The v4 bias_resident backward keeps its own
@@ -1053,15 +1150,16 @@ def _packed_fwd(qkv, logit_scale, bias_packed, mask, num_heads, interpret,
     if want:
         out, rden = _pallas_forward(qkv, logit_scale, bias_packed, mask,
                                     num_heads, interpret, grid_mode, mxu,
-                                    want_denom=True)
+                                    want_denom=True, wpc=wpc)
     else:
         out = _pallas_forward(qkv, logit_scale, bias_packed, mask,
-                              num_heads, interpret, grid_mode, mxu)
+                              num_heads, interpret, grid_mode, mxu,
+                              wpc=wpc)
         rden = None
     return out, (qkv, logit_scale, bias_packed, mask, rden)
 
 
-def _packed_bwd(num_heads, interpret, grid_mode, mxu, res, g):
+def _packed_bwd(num_heads, interpret, grid_mode, mxu, wpc, res, g):
     qkv, logit_scale, bias_packed, mask, rden = res
     if grid_mode == "bias_resident":
         # v4 opt-in keeps the exact fp32 backward (its selling point is
@@ -1074,13 +1172,13 @@ def _packed_bwd(num_heads, interpret, grid_mode, mxu, res, g):
         # (fp32, consecutive-revisit) with the bias block resident.
         dqkv, dls, _ = _pallas_backward(
             qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
-            mxu, dump_ds=False, rden=rden)
+            mxu, dump_ds=False, rden=rden, wpc=wpc)
         dbias = _pallas_dbias(qkv, logit_scale, bias_packed, mask, g,
                               num_heads, interpret, mxu)
     else:
         dqkv, dls, dbias = _pallas_backward(
             qkv, logit_scale, bias_packed, mask, g, num_heads, interpret,
-            mxu, rden=rden)
+            mxu, rden=rden, wpc=wpc)
     return dqkv, dls, dbias, None
 
 
@@ -1094,7 +1192,8 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
                                    *, num_heads: int,
                                    interpret: Optional[bool] = None,
                                    grid_mode: Optional[str] = None,
-                                   mxu: Optional[str] = None):
+                                   mxu: Optional[str] = None,
+                                   windows_per_cell=None):
     """Fused packed-layout cosine window attention.
 
     qkv: (B_, N, 3C) as produced by the qkv Dense (+q/v bias); bias_packed:
@@ -1109,6 +1208,10 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
     mxu: "fp32" | "fold" | "bf16" (see _fwd_body). Defaults to
     MXU_BF16_DEFAULT for bf16 inputs (MMDE_ATTN_MXU env, read at import),
     "fp32" for fp32 inputs — fp32 models always keep the exact pipeline.
+
+    windows_per_cell: "auto" | int | None — W windows share one grid cell
+    (round-5 experiment, measured slower at flagship shapes; default W=1).
+    None = the module default (MMDE_ATTN_W env, read at import).
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -1119,4 +1222,4 @@ def cosine_window_attention_packed(qkv: jnp.ndarray,
     if mxu is None:
         mxu = MXU_BF16_DEFAULT if qkv.dtype == jnp.bfloat16 else "fp32"
     return _packed_op(qkv, logit_scale, bias_packed, mask, num_heads,
-                      interpret, grid_mode, mxu)
+                      interpret, grid_mode, mxu, windows_per_cell)

@@ -37,6 +37,23 @@ METRIC_NAMES = M.ALL_METRIC_NAMES
 def build_datasets(cfg: Config, synthetic: bool = False):
     """Dataset factory keyed on cfg.data.dataset (reference picks loaders at
     train.py:102-108; see mmde_tpu.data for each)."""
+    if cfg.data.dataset == "synthetic_learnable":
+        # Convergence-gate data (tools/convergence_gate.py): depth is
+        # embedded in the red channel so the task is learnable; val is a
+        # disjoint held-out draw (different seed) — the gate proves the
+        # full system LEARNS, not memorizes.
+        from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
+        u8 = cfg.data.ship_uint8
+        train = SyntheticTwoFrameDataset(
+            num_samples=max(64, 8 * cfg.train.batch_size),
+            height=cfg.data.crop_h, width=cfg.data.crop_w,
+            max_depth=cfg.model.max_depth, seed=1, depth_cue=True,
+            uint8_images=u8)
+        val = SyntheticTwoFrameDataset(
+            num_samples=8, height=cfg.data.crop_h, width=cfg.data.crop_w,
+            max_depth=cfg.model.max_depth, seed=7, depth_cue=True,
+            uint8_images=u8)
+        return train, val
     if synthetic or cfg.data.dataset == "synthetic":
         from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
         # enough samples for a few steady-state print windows per epoch at

@@ -64,7 +64,8 @@ def init_model(model, rng, sample_batch, train: bool = False):
 def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
                     lambda_trans: float, silog_lambda: float = 0.5,
                     donate: bool = True, mesh=None,
-                    fused_collectives: bool = True):
+                    fused_collectives: bool = True,
+                    deterministic: bool = False):
     """Build the jitted train step.
 
     step(state, batch) -> (new_state, metrics dict of scalars)
@@ -82,6 +83,13 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
         an oversubscribed virtual-CPU mesh).
     Swin-family models (no BN) are numerically equivalent either way up to
     reduction order.
+
+    deterministic=True applies the model in eval mode inside the train
+    step: dropout/drop-path off, BN normalizes with running stats and does
+    not update them. Gradients still flow — this exists so fused-vs-single
+    equivalence can pin the WHOLE loss (incl. the pose head, whose
+    Dropout(0.5) otherwise forces per-shard rng divergence) and for
+    optimization debugging; production training keeps the default.
     """
 
     def loss_fn(params, batch_stats, batch, rngs):
@@ -92,8 +100,8 @@ def make_train_step(model, tx, *, decoder: str, lambda_rot: float,
                                            batch["sparse_depth1"])}
         out, mutations = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            _image(batch["image1"]), _image(batch["image2"]), True,
-            rngs=rngs, mutable=["batch_stats"], **kwargs)
+            _image(batch["image1"]), _image(batch["image2"]),
+            not deterministic, rngs=rngs, mutable=["batch_stats"], **kwargs)
         loss, aux = total_loss(out, batch, decoder=decoder,
                                lambda_rot=lambda_rot,
                                lambda_trans=lambda_trans,

@@ -103,6 +103,37 @@ def test_gradients_match_xla(with_mask, grid):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_multi_window_cells_match_xla(with_mask):
+    # W>1 windows-per-cell (round 5; measured slower on TPU at flagship
+    # shapes, default W=1 — docs/PERF.md) stays correct: one bias block
+    # serves W k/v window blocks, mask blocks (W, BQ, Np) aligned by
+    # W | nW.
+    def packed_w(q, l, b):
+        C = q.shape[-1] // 3
+        _, Np, _, HG, nG, _ = attention_plan(q.shape[1], 8, C // 8, C)
+        bp = pack_rpe_bias(b, nG, HG, Np)
+        return cosine_window_attention_packed(q, l, bp, mask, num_heads=8,
+                                              windows_per_cell=3)
+
+    qkv, ls, bias, mask = _make_inputs(B=6, nH=8, N=49, nW=3,
+                                       with_mask=with_mask)
+    want = _xla_ref(qkv, ls, bias, mask, nH=8)
+    got = packed_w(qkv, ls, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (49, 256), jnp.float32)
+    gp = jax.grad(lambda q, l, b: jnp.sum(
+        packed_w(q, l, b) * w[None]), argnums=(0, 1, 2))(qkv, ls, bias)
+    gx = jax.grad(lambda q, l, b: jnp.sum(
+        _xla_ref(q, l, b, mask, nH=8) * w[None]), argnums=(0, 1, 2))(
+        qkv, ls, bias)
+    for a, b, name in zip(gp, gx, ["dqkv", "dlogit_scale", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("grid", GRIDS)
 def test_gradients_qtiled_padded(grid):
     qkv, ls, bias, mask = _make_inputs(B=2, nH=4, N=500, nW=2)

@@ -118,6 +118,16 @@ def lossmakers(B, nH, N, C, mask):
                                              grid_mode="split")
         return jnp.sum(jnp.tanh(out))
 
+    def lpkw(q, l, b):
+        # W=2 multi-window cells (round-5 opt-in, default W=1): ds dumps
+        # in (W, 1, BQ, ·) blocks + per-window dk/dv accumulation across
+        # iq — the block-revisit pattern class this audit polices.
+        bp = pack_rpe_bias(b, nG, HG, Np)
+        out = cosine_window_attention_packed(q, l, bp, mask, num_heads=nH,
+                                             grid_mode="window_resident",
+                                             windows_per_cell=2)
+        return jnp.sum(jnp.tanh(out))
+
     def _b(x):
         return None if x is None else x.astype(jnp.bfloat16)
 
@@ -140,7 +150,8 @@ def lossmakers(B, nH, N, C, mask):
 
     ws = int(round(N ** 0.5))
     fns = {"xla": lx, "xla_bf16": lxb, "v1": lv1, "packed": lpk,
-           "packed4": lpk4, "pk_split": lpks, "packed_mxu": lpkb}
+           "packed4": lpk4, "pk_split": lpks, "packed_mxu": lpkb,
+           "packed_w": lpkw}
     if ws * ws == N:
         hg_ng = slab_plan(ws, ws, nH, Dh, C)
         if hg_ng is not None:

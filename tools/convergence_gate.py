@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Convergence gate: prove the system LEARNS, end-to-end (round 5).
+
+Runs the REAL training job (tools-equivalent path: mmde_tpu.train.loop —
+loader workers, poly LR schedule over epochs, per-epoch orbax checkpoints,
+best-RMSE selection, validation metric suite) on the learnable synthetic
+dataset (depth cue in the red channel, configs/convergence_gate.yaml),
+then re-evaluates the BEST checkpoint through the tools/eval.py CLI with
+flip TTA on held-out samples, and asserts pinned thresholds.
+
+This is the in-environment stand-in for the reference's own QC loop —
+held-out metric eval every val_freq epochs + best-RMSE checkpointing
+(reference train.py:155-157,311-323) — runnable with zero real datasets.
+
+Exit 0 + one JSON line on success; exit 1 with the failing metrics
+otherwise. Wired into tools/release_check.sh.
+
+Thresholds (pinned from the recorded TPU run, docs/PERF.md round 5, with
+margin): d1 >= 0.90, rmse <= 1.0 on the held-out synthetic split.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+THRESHOLDS = {"d1_min": 0.90, "rmse_max": 1.0}
+
+
+def main():
+    p = argparse.ArgumentParser(description="mmde_tpu convergence gate")
+    p.add_argument("--config", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "configs",
+        "convergence_gate.yaml"))
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu / tpu)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--log-dir", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from mmde_tpu.config import load_yaml
+    from mmde_tpu.train.loop import train
+    from mmde_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"), min_compile_secs=5.0)
+
+    cfg = load_yaml(args.config)
+    if args.epochs:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+
+    log_dir = args.log_dir or tempfile.mkdtemp(prefix="mmde_gate_")
+    final = train(cfg, log_dir=log_dir)
+    print(f"gate: training done, last val metrics: "
+          f"d1={final.get('d1', 0):.4f} rmse={final.get('rmse', 9):.4f}")
+
+    # Re-evaluate the BEST checkpoint via the public eval CLI with flip TTA
+    # (exercises checkpoint restore + TTA + the metric suite end to end).
+    ckpt_dir = os.path.join(log_dir, "ckpt")
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "eval.py"),
+           "--config", args.config, "--ckpt", ckpt_dir, "--flip-tta"]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    sys.stdout.write(proc.stdout[-3000:])
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-3000:])
+        raise SystemExit(f"gate: eval CLI failed rc={proc.returncode}")
+
+    # parse the eval CLI's metric table (lines like "   d1: 0.9312")
+    metrics = {}
+    for line in proc.stdout.splitlines():
+        parts = line.strip().replace(":", " ").split()
+        if len(parts) == 2:
+            try:
+                metrics[parts[0]] = float(parts[1])
+            except ValueError:
+                pass
+    d1 = metrics.get("d1", final.get("d1", 0.0))
+    rmse = metrics.get("rmse", final.get("rmse", 9.9))
+
+    ok = d1 >= THRESHOLDS["d1_min"] and rmse <= THRESHOLDS["rmse_max"]
+    print(json.dumps({
+        "gate": "convergence", "ok": bool(ok),
+        "d1": round(d1, 4), "rmse": round(rmse, 4),
+        "thresholds": THRESHOLDS,
+        "final_train_loop_val": {k: round(v, 4) for k, v in final.items()},
+        "log_dir": log_dir,
+    }))
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
