@@ -60,6 +60,49 @@ def restore(ckpt_dir: str, state_template, epoch: Optional[int] = None
     return state, epoch
 
 
+def restore_eval(ckpt_dir: str, state_template, epoch: Optional[int] = None,
+                 prefer_best: bool = True) -> Tuple[Any, int, str]:
+    """Restore params/batch_stats/step ONLY, for evaluation.
+
+    Evaluation does not carry optimizer state, so the eval-side TrainState
+    holds optax.identity()'s EmptyState — a StandardRestore against a
+    checkpoint saved by training (real AdamW opt_state) fails on the
+    structure mismatch (round-5 convergence gate caught this). This
+    restores the raw on-disk pytree with no template and merges only the
+    leaves eval needs. When `prefer_best` and `epoch` is None, the
+    best-RMSE checkpoint (ckpt_dir/best/epoch_N, the reference's
+    checkpoint_best.pth — utils/util.py:51-65) wins over the latest epoch.
+
+    Returns (state, epoch, kind) with kind in {"best", "epoch"}.
+    """
+    import jax.numpy as jnp
+
+    def merge(raw):
+        return state_template.replace(
+            params=jax.tree.map(jnp.asarray, raw["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, raw["batch_stats"]),
+            step=jnp.asarray(raw["step"]))
+
+    best_dir = os.path.join(ckpt_dir, "best")
+    if prefer_best and epoch is None and os.path.isdir(best_dir):
+        subs = sorted(d for d in os.listdir(best_dir)
+                      if d.startswith("epoch_"))
+        if subs:
+            ckptr = ocp.StandardCheckpointer()
+            raw = ckptr.restore(os.path.join(os.path.abspath(best_dir),
+                                             subs[-1]))
+            return (merge(raw), int(subs[-1].split("_")[1]), "best")
+
+    mgr = _manager(ckpt_dir)
+    if epoch is None:
+        epoch = mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    raw = mgr.restore(epoch)          # raw as-saved pytree, no template
+    mgr.close()
+    return merge(raw), epoch, "epoch"
+
+
 class BestTracker:
     """Keep the best-RMSE checkpoint (ref utils/util.py:51-65)."""
 

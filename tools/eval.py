@@ -63,8 +63,8 @@ def main():
     state = TrainState.create(params, batch_stats,
                               optax.identity(), jax.random.PRNGKey(0))
     if args.ckpt:
-        state, epoch = orbax_io.restore(args.ckpt, state)
-        print(f"restored epoch {epoch} from {args.ckpt}")
+        state, epoch, kind = orbax_io.restore_eval(args.ckpt, state)
+        print(f"restored {kind} checkpoint (epoch {epoch}) from {args.ckpt}")
 
     shift_window = cfg.data.crop_h if args.shift_window_tta else None
     eval_fn = make_eval_step(model, decoder=cfg.model.decoder,
