@@ -44,8 +44,11 @@ def build_datasets(cfg: Config, synthetic: bool = False):
         # full system LEARNS, not memorizes.
         from mmde_tpu.data.synthetic import SyntheticTwoFrameDataset
         u8 = cfg.data.ship_uint8
+        # 256 samples: enough that clearing the held-out thresholds
+        # requires LEARNING the cue->depth rule (64 samples plateaued at
+        # val d1 ~0.46 by memorizing textures — round 5)
         train = SyntheticTwoFrameDataset(
-            num_samples=max(64, 8 * cfg.train.batch_size),
+            num_samples=max(256, 8 * cfg.train.batch_size),
             height=cfg.data.crop_h, width=cfg.data.crop_w,
             max_depth=cfg.model.max_depth, seed=1, depth_cue=True,
             uint8_images=u8)
