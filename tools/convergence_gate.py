@@ -15,8 +15,9 @@ held-out metric eval every val_freq epochs + best-RMSE checkpointing
 Exit 0 + one JSON line on success; exit 1 with the failing metrics
 otherwise. Wired into tools/release_check.sh.
 
-Thresholds (pinned from the recorded TPU run, docs/PERF.md round 5, with
-margin): d1 >= 0.90, rmse <= 1.0 on the held-out synthetic split.
+Thresholds are pinned with margin from the recorded 48-epoch TPU run
+(docs/PERF.md round 5): held-out flip-TTA d1 0.877 / rmse 0.636, from an
+untrained ~0.21 / ~2.6 — gate at d1 >= 0.85, rmse <= 0.75.
 """
 from __future__ import annotations
 
@@ -30,7 +31,7 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-THRESHOLDS = {"d1_min": 0.90, "rmse_max": 1.0}
+THRESHOLDS = {"d1_min": 0.85, "rmse_max": 0.75}
 
 
 def main():
