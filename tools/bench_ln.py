@@ -20,17 +20,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf).astype(jnp.float32))
+
+
 def _timeit(fn, *args, iters=20):
     out = fn(*args)
-    float(jnp.sum(out[0] if isinstance(out, tuple) else out
-                  ).astype(jnp.float32))
+    _sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        float(jnp.sum(out[0] if isinstance(out, tuple) else out
-                      ).astype(jnp.float32))
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -63,7 +66,7 @@ def main():
         bytes_f = 2 * n * c * 2 / 1e9
         print(f"  {name}: fwd {t_f:6.3f} ms  fwd+bwd {t_fb:6.3f} ms "
               f"x{n_ln} LNs -> {t_fb * n_ln:6.1f} ms/step "
-              f"(fwd r+w {bytes_f:.3f} GB -> {bytes_f / 0.66 * 1e3:.2f} ms "
+              f"(fwd r+w {bytes_f:.3f} GB -> {bytes_f / 0.66:.3f} ms "
               f"at 660 GB/s)")
         total_f += t_f * n_ln
         total_fb += t_fb * n_ln

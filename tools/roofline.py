@@ -320,15 +320,19 @@ def fixed_buckets(rates: dict):
 
     # Decoder tail (per docs/PERF.md r4: ~130 ms measured): exact conv
     # flops at flagship shapes, decoder_v2 = 2 passes over 8-image feats.
-    # embed=128 => channels_out=128; all activations bf16.
+    # out_channels = 2*embed = 256 (profile-confirmed: the head convs are
+    # [3,3,256,256] at 480x640); all activations bf16. NOTE the round-5
+    # profile measured these convs at ~194 TF/s — essentially the chip's
+    # 197 TF/s bf16 PEAK (the 122 'sustained' anchor from an 8k matmul is
+    # conservative; 3x3 convs have 9x operand reuse).
     convs = [
         # (name, Cin, Cout, H, W, k)
         ("deconv0 2048->32 @30x40", 2048, 32, 30, 40, 2),
         ("deconv1 32->32 @60x80", 32, 32, 60, 80, 2),
         ("deconv2 32->32 @120x160", 32, 32, 120, 160, 2),
-        ("conv 32->128 @120x160", 32, 128, 120, 160, 3),
-        ("head_a 128->128 @480x640", 128, 128, 480, 640, 3),
-        ("head_b 128->1 @480x640", 128, 1, 480, 640, 3),
+        ("conv 32->256 @120x160", 32, 256, 120, 160, 3),
+        ("head_a 256->256 @480x640", 256, 256, 480, 640, 3),
+        ("head_b 256->1 @480x640", 256, 1, 480, 640, 3),
     ]
     dec_flops = 0
     dec_bytes = 0
