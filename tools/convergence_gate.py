@@ -31,19 +31,36 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-THRESHOLDS = {"d1_min": 0.85, "rmse_max": 0.75}
+# Per-variant thresholds, each pinned with margin below a recorded TPU run
+# (docs/PERF.md round 5):
+#   resnet: recorded held-out flip-TTA d1 0.877 / rmse 0.636
+#   swin:   flagship-family path (swin_tiny_v2 windows + fused Pallas
+#           attention fwd/bwd + decoder_v2), recorded run pinned below
+VARIANTS = {
+    "resnet": {"config": "convergence_gate.yaml",
+               "d1_min": 0.85, "rmse_max": 0.75},
+    "swin": {"config": "convergence_gate_swin.yaml",
+             "d1_min": 0.85, "rmse_max": 0.75},
+}
 
 
 def main():
     p = argparse.ArgumentParser(description="mmde_tpu convergence gate")
-    p.add_argument("--config", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "configs",
-        "convergence_gate.yaml"))
+    p.add_argument("--variant", choices=sorted(VARIANTS), default="resnet")
+    p.add_argument("--config", default=None,
+                   help="config path (default: the variant's config)")
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu / tpu)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--log-dir", default=None)
     args = p.parse_args()
+
+    thresholds = {k: v for k, v in VARIANTS[args.variant].items()
+                  if k != "config"}
+    if args.config is None:
+        args.config = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "configs",
+            VARIANTS[args.variant]["config"])
 
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -95,11 +112,11 @@ def main():
     d1 = metrics.get("d1", final.get("d1", 0.0))
     rmse = metrics.get("rmse", final.get("rmse", 9.9))
 
-    ok = d1 >= THRESHOLDS["d1_min"] and rmse <= THRESHOLDS["rmse_max"]
+    ok = d1 >= thresholds["d1_min"] and rmse <= thresholds["rmse_max"]
     print(json.dumps({
-        "gate": "convergence", "ok": bool(ok),
+        "gate": "convergence", "variant": args.variant, "ok": bool(ok),
         "d1": round(d1, 4), "rmse": round(rmse, 4),
-        "thresholds": THRESHOLDS,
+        "thresholds": thresholds,
         "final_train_loop_val": {k: round(v, 4) for k, v in final.items()},
         "log_dir": log_dir,
     }))
