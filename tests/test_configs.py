@@ -215,3 +215,19 @@ class TestVoidCanonical:
         assert cfg.model.backbone == "cnn_transformer_multi_scale"
         assert cfg.train.max_lr == pytest.approx(5e-4)
         assert cfg.train.layer_decay == pytest.approx(0.9)
+
+
+class TestAllShippedConfigsParse:
+    """Every YAML in configs/ must load through the schema (catches a new
+    config — e.g. the round-5 convergence-gate variants — drifting from
+    the reference-compatible key set, ref configs/config.py:9-107)."""
+
+    @pytest.mark.parametrize("name", sorted(
+        f for f in os.listdir(CONFIGS) if f.endswith(".yaml")))
+    def test_parse(self, name):
+        cfg = load_yaml(os.path.join(CONFIGS, name))
+        assert cfg.train.batch_size >= 1
+        assert cfg.model.backbone
+        # every shipped config must name a buildable model family
+        assert cfg.model.decoder in ("decoder_v1", "decoder_v2") or \
+            cfg.model.family in ("glpdepth", "glpdepth_scale16")
